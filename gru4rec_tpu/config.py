@@ -1,0 +1,153 @@
+"""Model/training configuration with the reference's full hyperparameter surface.
+
+Mirrors the 25-parameter constructor of the reference (gru4rec.py:97-135) and
+its CLI param-string coercion grammar (gru4rec.py:162-187):
+``/``-separated lists, ``True/False/1/0`` booleans, and the
+``embedding='layersize'`` alias (resolved to ``layers[0]``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+VALID_LOSSES = ("cross-entropy", "xe_logit", "bpr", "bpr-max", "top1", "top1-max")
+VALID_ADAPT = (None, "adagrad", "rmsprop", "adam", "adadelta")
+
+# Default adapt_params per optimizer when the user leaves them empty.  The
+# reference indexes adapt_params[0]/adapt_params[1] directly and would crash on
+# an empty list for rmsprop/adadelta/adam; we supply the conventional decays.
+_DEFAULT_ADAPT_PARAMS = {
+    "rmsprop": [0.9],
+    "adadelta": [0.9],
+    "adam": [0.9, 0.999],
+}
+
+
+@dataclass
+class GRU4RecConfig:
+    """All hyperparameters of a GRU4Rec model (reference: gru4rec.py:97-135)."""
+
+    loss: str = "bpr-max"
+    final_act: str = "elu-1"
+    hidden_act: str = "tanh"
+    layers: List[int] = field(default_factory=lambda: [100])
+    n_epochs: int = 10
+    batch_size: int = 32
+    dropout_p_hidden: float = 0.0
+    dropout_p_embed: float = 0.0
+    learning_rate: float = 0.05
+    momentum: float = 0.0
+    lmbd: float = 0.0
+    embedding: int = 0                      # 0 = no separate embedding
+    n_sample: int = 2048
+    sample_alpha: float = 0.75
+    smoothing: float = 0.0
+    constrained_embedding: bool = False
+    adapt: Optional[str] = "adagrad"
+    adapt_params: List[float] = field(default_factory=list)
+    grad_cap: float = 0.0
+    bpreg: float = 1.0
+    logq: float = 0.0
+    sigma: float = 0.0
+    init_as_normal: bool = False
+    train_random_order: bool = False
+    time_sort: bool = True
+    session_key: str = "SessionId"
+    item_key: str = "ItemId"
+    time_key: str = "Time"
+
+    # --- TPU-native extensions (not in the reference) ---
+    seed: int = 42                # explicit PRNG seed (replaces np.random.seed(42), gru4rec.py:270)
+    chunk_size: int = 512         # steps fused into one device call via lax.scan
+    param_dtype: str = "float32"  # parameter dtype
+    compute_dtype: str = "float32"  # activation/matmul dtype ("bfloat16" for speed)
+    item_pad_multiple: int = 128  # pad item tables to a multiple of this many rows (MXU tiling)
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    # ------------------------------------------------------------------ #
+    def validate(self) -> None:
+        if self.loss not in VALID_LOSSES:
+            raise NotImplementedError(f"Unknown loss: {self.loss!r}")
+        if self.adapt not in VALID_ADAPT:
+            raise NotImplementedError(f"Unknown adapt: {self.adapt!r}")
+        if self.embedding == "layersize":
+            self.embedding = self.layers[0]   # alias (reference: gru4rec.py:185-187)
+        if not self.adapt_params and self.adapt in _DEFAULT_ADAPT_PARAMS:
+            self.adapt_params = list(_DEFAULT_ADAPT_PARAMS[self.adapt])
+        if self.adapt == "adadelta" and self.learning_rate != 1.0:
+            # reference: gru4rec.py:363-365 forces lr to 1.0 under adadelta
+            print("Warn: learning_rate is not 1.0 while using adadelta. Setting learning_rate to 1.0")
+            self.learning_rate = 1.0
+
+    # ------------------------------------------------------------------ #
+    def set_params(self, **kwargs) -> "GRU4RecConfig":
+        """Typed coercion of string parameter values (reference: gru4rec.py:162-187).
+
+        Accepts strings from CLI param-strings and coerces them to the field's
+        type: '/'-separated lists, 'True'/'False'/'1'/'0' booleans, and the
+        'layersize' embedding alias. Mutates and returns self.
+        """
+        names = {f.name for f in dataclasses.fields(self)}
+        for k, v in kwargs.items():
+            if k not in names:
+                print(f"Unkown attribute: {k}")
+                raise NotImplementedError(f"Unknown parameter: {k}")
+            cur = getattr(self, k)
+            if isinstance(v, str):
+                if k == "adapt_params":
+                    v = [float(x) for x in v.split("/")] if v else []
+                elif isinstance(cur, list):
+                    v = [int(x) for x in v.split("/")]
+                elif isinstance(cur, bool):
+                    if v in ("True", "1"):
+                        v = True
+                    elif v in ("False", "0"):
+                        v = False
+                    else:
+                        raise NotImplementedError(f"Invalid value for boolean parameter: {v}")
+                elif k == "embedding" and v == "layersize":
+                    pass  # resolved in validate()
+                elif k == "adapt" and v in ("None", "none", ""):
+                    v = None
+                elif cur is None:
+                    pass  # keep string (e.g. adapt set from None default)
+                else:
+                    v = type(cur)(v)
+            setattr(self, k, v)
+            print(f"SET   {k}   TO   {v}   (type: {type(v)})")
+        self.validate()
+        return self
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_parameter_string(cls, s: str) -> "GRU4RecConfig":
+        """Parse ``name1=value1,name2=value2`` strings (reference: run.py:97)."""
+        cfg = cls()
+        pairs = dict(x.split("=", 1) for x in s.split(",") if x)
+        return cfg.set_params(**pairs)
+
+    @classmethod
+    def from_parameter_file(cls, path: str) -> "GRU4RecConfig":
+        """Load a param-file module exposing ``gru4rec_params`` (reference: run.py:88-95)."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            os.path.splitext(os.path.basename(path))[0], os.path.abspath(path)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cfg = cls()
+        return cfg.set_params(**dict(mod.gru4rec_params))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GRU4RecConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})

@@ -1,0 +1,220 @@
+"""Recall@N / MRR@N evaluation, compiled and chunked like training.
+
+Re-design of the reference's ``evaluate_gpu`` (evaluation.py:15-147): the
+same session-parallel lane iteration (shared schedule builder), the same
+rank graph with four tie-break modes (evaluation.py:62-66), multi-cutoff
+accumulation in one compiled function — but instead of one device call per
+event step, steps are fused into ``lax.scan`` chunks and only the final
+counters come back to the host.
+
+Per reference semantics kept exactly:
+* test items are inner-joined to the training vocabulary (unseen items are
+  dropped, evaluation.py:77);
+* events are sorted by (session, time, item) (evaluation.py:78);
+* metrics average per *event*;
+* ranks use ``<= cutoff`` (the per-event baseline evaluator's strict ``<``
+  off-by-one at evaluation.py:296 is deliberately not replicated here).
+
+``evaluate_sessions`` (the per-event protocol for baseline predictors) is
+also provided.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from gru4rec_tpu.config import GRU4RecConfig
+from gru4rec_tpu.data.scheduler import build_schedule
+from gru4rec_tpu.models import gru
+from gru4rec_tpu.ops.ranking import TIE_MODES, compute_ranks
+
+
+def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
+                       tie_mode: str, batch_size: int, items_subset: bool = False):
+    """Build the jitted per-chunk evaluation function."""
+    if tie_mode not in TIE_MODES:
+        raise NotImplementedError(f"Unknown tie mode: {tie_mode!r}")
+    mode = gru.input_mode(cfg)
+    cutoffs = tuple(int(c) for c in cutoffs)
+
+    def chunk_fn(params, H, in_c, out_c, valid_c, reset_c, rec, mrr, n, key, step,
+                 item_idx=None):
+        n_pad = params["Wy"].shape[0]
+        item_valid = (jnp.arange(n_pad) < n_items) if not items_subset else None
+
+        def step_fn(carry, xs):
+            H, rec, mrr, n, step = carry
+            in_idx, out_idx, valid, reset = xs
+            H = tuple(jnp.where(reset[:, None], 0.0, h) for h in H)
+            Xg = jnp.where(valid, in_idx, 0)
+            if mode == "constrained":
+                srows = {"WyS": jnp.take(params["Wy"], Xg, axis=0)}
+            elif mode == "embedding":
+                srows = {"E": jnp.take(params["E"], Xg, axis=0)}
+            else:
+                srows = {"Wx0": jnp.take(params["Wx"][0], Xg, axis=0)}
+            if items_subset:
+                # score only the target + the item list (evaluation.py:104-105)
+                Y = jnp.concatenate([jnp.where(valid, out_idx, 0), item_idx])
+                srows["Wy"] = jnp.take(params["Wy"], Y, axis=0)
+                srows["By"] = jnp.take(params["By"], Y, axis=0)
+                H_new, yhat = gru.forward(
+                    params, srows, list(H), cfg, M=batch_size, training=False,
+                    col_valid=None, full_catalog=False,
+                )
+                b = yhat.shape[0]
+                if tie_mode == "tiebreaking":
+                    yhat = yhat + jax.random.uniform(
+                        jax.random.fold_in(key, step), yhat.shape
+                    ) * 1e-10
+                target = yhat[jnp.arange(b), jnp.arange(b)]
+                others = yhat[:, b:]
+            else:
+                H_new, yhat = gru.forward(
+                    params, srows, list(H), cfg, M=batch_size, training=False,
+                    full_catalog=True, item_valid=item_valid,
+                )
+                yhat = jnp.where(item_valid, yhat, -jnp.inf)
+                b = yhat.shape[0]
+                if tie_mode == "tiebreaking":
+                    yhat = yhat + jax.random.uniform(
+                        jax.random.fold_in(key, step), yhat.shape
+                    ) * 1e-10
+                target = yhat[jnp.arange(b), jnp.where(valid, out_idx, 0)]
+                others = yhat
+
+            ranks = compute_ranks(others, target, tie_mode)
+
+            vf = valid.astype(jnp.float32)
+            for k, c in enumerate(cutoffs):
+                hit = (ranks <= c).astype(jnp.float32) * vf
+                rec = rec.at[k].add(jnp.sum(hit))
+                mrr = mrr.at[k].add(jnp.sum(hit / ranks))
+            n = n + jnp.sum(vf)
+            H_out = tuple(jnp.where(valid[:, None], hn, ho) for hn, ho in zip(H_new, H))
+            return (H_out, rec, mrr, n, step + 1), None
+
+        carry = (H, rec, mrr, n, step)
+        carry, _ = jax.lax.scan(step_fn, carry, (in_c, out_c, valid_c, reset_c))
+        return carry
+
+    return jax.jit(chunk_fn, donate_argnums=(1, 6, 7, 8), static_argnames=())
+
+
+def evaluate(gru_model, test_data, items=None, session_key="SessionId",
+             item_key="ItemId", time_key="Time", cut_off=[20], batch_size=100,
+             mode="standard"):
+    """Measure Recall@N and MRR@N of a trained model (reference: evaluate_gpu,
+    evaluation.py:15-147). Returns ``(recall_list, mrr_list)``; scalars are
+    returned as one-element lists to match multi-cutoff handling."""
+    if gru_model.error_during_train:
+        raise Exception("Training ended with an error; model is unusable.")
+    multi = isinstance(cut_off, (list, tuple))
+    cutoffs = list(cut_off) if multi else [cut_off]
+    print("Measuring Recall@{} and MRR@{}".format(
+        ",".join(str(c) for c in cutoffs), ",".join(str(c) for c in cutoffs)))
+
+    cfg = gru_model.config
+    itemidmap = gru_model.itemidmap
+    test_data = pd.merge(
+        test_data,
+        pd.DataFrame({"ItemIdx": itemidmap.values, item_key: itemidmap.index}),
+        on=item_key,
+        how="inner",
+    )
+    test_data.sort_values([session_key, time_key, item_key], inplace=True)
+    offsets = np.zeros(test_data[session_key].nunique() + 1, dtype=np.int64)
+    offsets[1:] = test_data.groupby(session_key, sort=False).size().cumsum().values
+    order = np.arange(len(offsets) - 1, dtype=np.int64)
+    sched = build_schedule(
+        test_data["ItemIdx"].values.astype(np.int32), offsets, order, batch_size
+    )
+
+    item_idx = None
+    items_subset = items is not None
+    if items_subset:
+        item_idx = jnp.asarray(itemidmap[items].values.astype(np.int32))
+
+    chunk_fn = make_eval_chunk_fn(
+        cfg, gru_model.n_items, cutoffs, mode, batch_size, items_subset
+    )
+    H = tuple(gru.init_hidden(cfg, batch_size))
+    rec = jnp.zeros((len(cutoffs),), jnp.float32)
+    mrr = jnp.zeros((len(cutoffs),), jnp.float32)
+    n = jnp.zeros((), jnp.float32)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    step = jnp.zeros((), jnp.int32)
+
+    C = cfg.chunk_size
+    T = sched.n_steps
+    for t0 in range(0, T, C):
+        t1 = min(t0 + C, T)
+        pad = C - (t1 - t0)
+        sl = lambda a: np.pad(a[t0:t1], ((0, pad), (0, 0)))
+        args = (
+            jnp.asarray(sl(sched.in_idx)),
+            jnp.asarray(sl(sched.out_idx)),
+            jnp.asarray(sl(sched.valid)),
+            jnp.asarray(sl(sched.reset)),
+        )
+        if items_subset:
+            H, rec, mrr, n, step = chunk_fn(
+                gru_model.params, H, *args, rec, mrr, n, key, step, item_idx
+            )
+        else:
+            H, rec, mrr, n, step = chunk_fn(
+                gru_model.params, H, *args, rec, mrr, n, key, step
+            )
+    n = float(n)
+    recall = [float(r) / n for r in rec]
+    mrr_out = [float(m) / n for m in mrr]
+    return recall, mrr_out
+
+
+# API-parity alias with the reference module name (evaluation.evaluate_gpu).
+evaluate_gpu = evaluate
+
+
+def evaluate_sessions(pr, test_data, train_data, items=None, cut_off=20,
+                      session_key="SessionId", item_key="ItemId", time_key="Time",
+                      rng=None):
+    """Single-event evaluator for baseline predictors implementing the
+    ``predict_next(session_id, input_item_id, predict_for_item_ids)`` protocol
+    (reference: evaluation.py:247-301). Uses ``rank <= cut_off`` — the
+    reference's strict ``<`` (evaluation.py:296) is a documented off-by-one
+    that SURVEY.md §2.5 flags as not-to-replicate."""
+    if rng is None:
+        rng = np.random.RandomState(0)
+    test_data = test_data.sort_values([session_key, time_key])
+    items_to_predict = train_data[item_key].unique()
+    n_points = 0
+    prev_iid, prev_sid = -1, -1
+    mrr, recall = 0.0, 0.0
+    sids = test_data[session_key].values
+    iids = test_data[item_key].values
+    for i in range(len(test_data)):
+        sid, iid = sids[i], iids[i]
+        if prev_sid != sid:
+            prev_sid = sid
+        else:
+            if items is not None:
+                if np.in1d(iid, items):
+                    items_to_predict = items
+                else:
+                    items_to_predict = np.hstack(([iid], items))
+            preds = pr.predict_next(sid, prev_iid, items_to_predict)
+            preds[np.isnan(preds)] = 0
+            preds = preds + 1e-8 * rng.rand(len(preds))  # tie breaking
+            rank = (preds > preds[iid]).sum() + 1
+            assert rank > 0
+            if rank <= cut_off:
+                recall += 1
+                mrr += 1.0 / rank
+            n_points += 1
+        prev_iid = iid
+    return recall / n_points, mrr / n_points

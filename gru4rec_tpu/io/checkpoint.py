@@ -1,0 +1,90 @@
+"""Structured, pickle-free model checkpoints.
+
+The reference pickles the entire Python object (gru4rec.py:742-781) — a
+security and portability hazard SURVEY.md §5 flags for replacement. Here a
+checkpoint is a single ``.npz`` archive holding every parameter array, the
+item-ID map, the persistent hidden state, and the JSON-encoded config —
+portable across hosts and accelerator types. Optimizer state and epoch
+counters can be included for exact mid-training resume (which the reference
+cannot do at all).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+
+from gru4rec_tpu.config import GRU4RecConfig
+
+
+def _flatten_params(params) -> dict:
+    flat = {}
+    for group in ("Wx", "Wh", "Wrz", "Bh"):
+        for i, arr in enumerate(params[group]):
+            flat[f"param/{group}{i}"] = np.asarray(arr)
+    flat["param/Wy"] = np.asarray(params["Wy"])
+    flat["param/By"] = np.asarray(params["By"])
+    if "E" in params:
+        flat["param/E"] = np.asarray(params["E"])
+    return flat
+
+
+def _unflatten_params(archive) -> dict:
+    params = {"Wx": [], "Wh": [], "Wrz": [], "Bh": []}
+    n_layers = len([k for k in archive.files if k.startswith("param/Wh")])
+    for i in range(n_layers):
+        for group in ("Wx", "Wh", "Wrz", "Bh"):
+            params[group].append(archive[f"param/{group}{i}"])
+    params["Wy"] = archive["param/Wy"]
+    params["By"] = archive["param/By"]
+    if "param/E" in archive.files:
+        params["E"] = archive["param/E"]
+    return params
+
+
+def save_model(model, fname: str, include_optimizer: bool = False) -> None:
+    """Serialize a trained GRU4Rec model (and optionally its optimizer state)."""
+    payload = _flatten_params(model.params)
+    keys = np.asarray(model.itemidmap.index.values)
+    if keys.dtype.kind not in "iufb":
+        # string item IDs: store as fixed-width unicode, not pickled objects
+        # (pandas>=3 returns Arrow-backed string arrays here)
+        keys = np.asarray(keys, dtype=str)
+    payload["itemidmap/keys"] = keys
+    payload["itemidmap/values"] = model.itemidmap.values
+    payload["meta/config"] = np.array(json.dumps(model.config.to_dict()))
+    payload["meta/n_items"] = np.array(model.n_items)
+    if model.H is not None:
+        for i, h in enumerate(model.H):
+            payload[f"state/H{i}"] = np.asarray(h)
+    if include_optimizer and model._train_state is not None:
+        flat, _ = jax.tree_util.tree_flatten(model._train_state.opt_state)
+        for i, arr in enumerate(flat):
+            payload[f"opt/{i}"] = np.asarray(arr)
+        payload["meta/opt_step"] = np.asarray(model._train_state.step)
+    np.savez(fname, **payload)
+
+
+def load_model(fname: str, cls):
+    """Reconstruct a GRU4Rec model from a checkpoint archive."""
+    import pandas as pd
+
+    with np.load(fname, allow_pickle=False) as archive:
+        cfg = GRU4RecConfig.from_dict(json.loads(str(archive["meta/config"])))
+        model = cls(cfg)
+        model.params = jax.tree_util.tree_map(
+            __import__("jax.numpy", fromlist=["asarray"]).asarray,
+            _unflatten_params(archive),
+        )
+        model.n_items = int(archive["meta/n_items"])
+        model.itemidmap = pd.Series(
+            data=archive["itemidmap/values"], index=archive["itemidmap/keys"],
+            name="ItemIdx",
+        )
+        h_keys = sorted(k for k in archive.files if k.startswith("state/H"))
+        if h_keys:
+            model.H = tuple(archive[k] for k in h_keys)
+        model.error_during_train = False
+    return model

@@ -1,0 +1,229 @@
+"""The user-facing GRU4Rec model: fit / predict / save / load.
+
+API-compatible surface with the reference class (gru4rec.py:27-781): the same
+constructor keyword set, ``set_params`` string coercion, ``fit(data)``,
+stateful ``predict_next_batch``, and ``savemodel``/``loadmodel`` — but the
+engine underneath is the TPU-native scan pipeline (train/step.py) instead of
+a per-step host loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from gru4rec_tpu.config import GRU4RecConfig
+from gru4rec_tpu.data.loader import build_itemidmap
+from gru4rec_tpu.data.scheduler import build_schedule, session_order
+from gru4rec_tpu.data.tools import compute_offset, sort_if_needed
+from gru4rec_tpu.models import gru
+from gru4rec_tpu.ops.sampling import popularity_cdf
+from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
+
+
+class GRU4Rec:
+    """TPU-native GRU4Rec session-based recommender."""
+
+    def __init__(self, config: Optional[GRU4RecConfig] = None, **kwargs):
+        if config is None:
+            config = GRU4RecConfig()
+        self.config = config
+        if kwargs:
+            self.config.set_params(**{k: v for k, v in kwargs.items()})
+        self.params = None
+        self.n_items = 0
+        self.itemidmap: Optional[pd.Series] = None
+        self.H = None
+        self.error_during_train = False
+        self._train_state = None
+        self._predict_fn = None
+        self._predict_batch = None
+        self._predict_n_items = None
+        self._current_session = None
+
+    # Convenience passthroughs for reference-style attribute access.
+    def set_params(self, **kwargs):
+        self.config.set_params(**kwargs)
+        return self
+
+    def __getattr__(self, name):
+        cfg = object.__getattribute__(self, "config")
+        if hasattr(cfg, name):
+            return getattr(cfg, name)
+        raise AttributeError(name)
+
+    # ------------------------------------------------------------------ #
+    def fit(self, data: pd.DataFrame, sample_store: int = 10_000_000,
+            store_type: str = "gpu", n_epochs: Optional[int] = None):
+        """Train the network (reference: gru4rec.py:515-664).
+
+        ``sample_store``/``store_type`` are accepted for CLI/API parity but
+        the store itself is in-graph on TPU (ops/sampling.py): one
+        uniform+searchsorted block per scan chunk, no host involvement.
+        """
+        cfg = self.config
+        self._predict_fn = None
+        self.error_during_train = False
+        item_key, session_key, time_key = cfg.item_key, cfg.session_key, cfg.time_key
+
+        self.itemidmap = build_itemidmap(data, item_key)
+        self.n_items = len(self.itemidmap)
+        data = data.copy()
+        data["ItemIdx"] = self.itemidmap[data[item_key].values].values
+        sort_if_needed(data, [session_key, time_key])
+        offsets = compute_offset(data, session_key)
+
+        n_pad = gru.pad_items(self.n_items, cfg.item_pad_multiple)
+        pop = data.groupby(item_key).size()[self.itemidmap.index.values].values
+        logp0 = np.zeros((n_pad,), dtype=np.float32)
+        logp0[: self.n_items] = np.log(pop.astype(np.float64))
+        logp0 = jnp.asarray(logp0)
+        cdf = (
+            jnp.asarray(popularity_cdf(pop, cfg.sample_alpha))
+            if cfg.n_sample
+            else jnp.zeros((1,), jnp.float32)
+        )
+
+        key = jax.random.PRNGKey(cfg.seed)
+        state = init_train_state(cfg, self.n_items, key)
+        chunk_fn = make_chunk_fn(cfg, self.n_items)
+
+        base_order = session_order(data, session_key, time_key, cfg.time_sort,
+                                   len(offsets) - 1)
+        data_items = data["ItemIdx"].values.astype(np.int32)
+        epoch_rng = np.random.RandomState(cfg.seed)
+        C = cfg.chunk_size
+        epochs = cfg.n_epochs if n_epochs is None else n_epochs
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            state = state._replace(H=tuple(gru.init_hidden(cfg, cfg.batch_size)))
+            order = (
+                epoch_rng.permutation(len(offsets) - 1)
+                if cfg.train_random_order
+                else base_order
+            )
+            sched = build_schedule(
+                data_items, offsets, order, cfg.batch_size,
+                require_two_lanes=(cfg.n_sample == 0),
+            )
+            T = sched.n_steps
+            loss_parts, ev_parts = [], []
+            for t0c in range(0, T, C):
+                t1c = min(t0c + C, T)
+                pad = C - (t1c - t0c)
+                sl = lambda a: np.pad(a[t0c:t1c], ((0, pad), (0, 0)))
+                state, ls, ec = chunk_fn(
+                    state,
+                    jnp.asarray(sl(sched.in_idx)),
+                    jnp.asarray(sl(sched.out_idx)),
+                    jnp.asarray(sl(sched.valid)),
+                    jnp.asarray(sl(sched.reset)),
+                    cdf,
+                    logp0,
+                )
+                loss_parts.append(ls)
+                ev_parts.append(ec)
+            total_events = float(jnp.sum(jnp.stack(ev_parts))) if ev_parts else 0.0
+            total_loss = float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0
+            avgc = total_loss / max(total_events, 1.0)
+            if np.isnan(avgc):
+                print(f"Epoch {epoch}: NaN error!")
+                self.error_during_train = True
+                return self
+            dt = time.time() - t0
+            print(
+                "Epoch{} --> loss: {:.6f} \t({:.2f}s) \t[{:.2f} mb/s | {:.0f} e/s]".format(
+                    epoch + 1, avgc, dt, T / dt, total_events / dt
+                )
+            )
+        self._train_state = state
+        self.params = state.params
+        self.H = state.H
+        return self
+
+    # ------------------------------------------------------------------ #
+    def _build_predict_fn(self, subset: bool):
+        cfg = self.config
+        mode = gru.input_mode(cfg)
+        n_items = self.n_items
+
+        @jax.jit
+        def predict_step(params, H, in_idx, item_idx=None):
+            n_pad = params["Wy"].shape[0]
+            if mode == "constrained":
+                srows = {"WyS": jnp.take(params["Wy"], in_idx, axis=0)}
+            elif mode == "embedding":
+                srows = {"E": jnp.take(params["E"], in_idx, axis=0)}
+            else:
+                srows = {"Wx0": jnp.take(params["Wx"][0], in_idx, axis=0)}
+            if subset:
+                srows["Wy"] = jnp.take(params["Wy"], item_idx, axis=0)
+                srows["By"] = jnp.take(params["By"], item_idx, axis=0)
+                H_new, yhat = gru.forward(
+                    params, srows, list(H), cfg, M=in_idx.shape[0], training=False,
+                    full_catalog=False,
+                )
+            else:
+                item_valid = jnp.arange(n_pad) < n_items
+                H_new, yhat = gru.forward(
+                    params, srows, list(H), cfg, M=in_idx.shape[0], training=False,
+                    full_catalog=True, item_valid=item_valid,
+                )
+                yhat = yhat[:, :n_items]
+            return tuple(H_new), yhat
+
+        return predict_step
+
+    def predict_next_batch(self, session_ids, input_item_ids,
+                           predict_for_item_ids=None, batch: int = 100):
+        """Stateful batch prediction (reference: gru4rec.py:665-728): hidden
+        state persists across calls per lane; lanes whose session ID changed
+        are reset. Returns a DataFrame of scores, items x events."""
+        if self.error_during_train:
+            raise Exception("Training ended with an error; model is unusable.")
+        subset = predict_for_item_ids is not None
+        if (
+            self._predict_fn is None
+            or self._predict_batch != batch
+            or self._predict_n_items != (len(predict_for_item_ids) if subset else None)
+        ):
+            self._predict_fn = self._build_predict_fn(subset)
+            self._predict_batch = batch
+            self._predict_n_items = len(predict_for_item_ids) if subset else None
+            self.H = tuple(gru.init_hidden(self.config, batch))
+            self._current_session = np.ones(batch) * -1
+
+        session_ids = np.asarray(session_ids)
+        changed = session_ids != self._current_session
+        if changed.any():
+            mask = jnp.asarray(~changed)[:, None]
+            self.H = tuple(h * mask for h in self.H)
+            self._current_session = session_ids.copy()
+
+        in_idx = jnp.asarray(self.itemidmap[input_item_ids].values.astype(np.int32))
+        if subset:
+            item_idx = jnp.asarray(
+                self.itemidmap[predict_for_item_ids].values.astype(np.int32)
+            )
+            self.H, preds = self._predict_fn(self.params, self.H, in_idx, item_idx)
+            return pd.DataFrame(data=np.asarray(preds).T, index=predict_for_item_ids)
+        self.H, preds = self._predict_fn(self.params, self.H, in_idx)
+        return pd.DataFrame(data=np.asarray(preds).T, index=self.itemidmap.index)
+
+    # ------------------------------------------------------------------ #
+    def savemodel(self, fname: str, include_optimizer: bool = False):
+        from gru4rec_tpu.io.checkpoint import save_model
+
+        save_model(self, fname, include_optimizer=include_optimizer)
+
+    @classmethod
+    def loadmodel(cls, fname: str) -> "GRU4Rec":
+        from gru4rec_tpu.io.checkpoint import load_model
+
+        return load_model(fname, lambda cfg: cls(config=cfg))

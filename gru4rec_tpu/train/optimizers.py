@@ -1,0 +1,209 @@
+"""The five optimizers of GRU4Rec with dense and row-sparse paths.
+
+Reference: gru4rec.py:300-432 (adagrad/rmsprop/adadelta/adam + plain SGD,
+each with a dense path and a sampled-row path, plus Nesterov momentum, L2,
+and global-norm clipping in the ``RMSprop`` orchestrator).
+
+Deliberate divergences from the reference (documented, not accidental):
+
+* **Duplicate row indices.** The reference's sparse paths either tolerate
+  nondeterministic last-write-wins scatters or use a slower
+  ``inc_subtensor(set_subtensor(...))`` trick (gru4rec.py:319-326). On TPU we
+  instead *dedup first*: duplicate-index gradients are summed into one row
+  gradient (sort + segment-sum, static shapes), after which every touched row
+  is updated exactly once with dense-equivalent math — deterministic by
+  construction (SURVEY.md §5).
+* **Adam.** The reference's sparse Adam updates the first moment with the
+  *squared* gradient (gru4rec.py:325) and bias-corrects the second moment
+  with the first moment's decay (gru4rec.py:329) — both long-standing bugs.
+  We implement textbook Adam.
+
+Padding rows created for MXU tiling are protected by a drop-sentinel index:
+all scatters use ``mode='drop'`` and dead-lane/padded entries carry an
+out-of-bounds index.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from gru4rec_tpu.config import GRU4RecConfig
+
+EPSILON = 1e-6
+
+
+def dedup_rows(idx, g):
+    """Sum gradients of duplicate row indices; static output shapes.
+
+    Returns ``(uidx, g_sum)`` of the same length as ``idx``: position k holds
+    the k-th distinct index and the sum of its gradient rows; unused tail
+    positions hold a drop-sentinel (int32 max) with zero gradient. Entries of
+    ``idx`` already equal to a sentinel (masked lanes) sort to the tail and
+    stay dropped.
+    """
+    n = idx.shape[0]
+    order = jnp.argsort(idx)
+    sidx = jnp.take(idx, order)
+    sg = jnp.take(g, order, axis=0)
+    head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    g_sum = jax.ops.segment_sum(sg, seg, num_segments=n)
+    sentinel = jnp.iinfo(jnp.int32).max
+    uidx = jnp.full((n,), sentinel, dtype=jnp.int32)
+    uidx = uidx.at[seg].set(sidx.astype(jnp.int32))
+    return uidx, g_sum
+
+
+def _take_rows(table, uidx, fill=0.0):
+    return jnp.take(table, uidx, axis=0, mode="fill", fill_value=fill)
+
+
+class Optimizer:
+    """Functional optimizer bundle parameterized by the config."""
+
+    def __init__(self, cfg: GRU4RecConfig):
+        self.adapt = cfg.adapt
+        self.lr = cfg.learning_rate
+        self.momentum = cfg.momentum
+        self.lmbd = cfg.lmbd
+        self.grad_cap = cfg.grad_cap
+        ap = cfg.adapt_params
+        self.v1 = ap[0] if ap else 0.9
+        self.v2 = ap[1] if len(ap) > 1 else 0.999
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, param) -> Dict:
+        # NOTE: one fresh buffer per slot — sharing a zeros array between
+        # state slots breaks buffer donation (same buffer donated twice).
+        st: Dict = {}
+        if self.adapt in ("adagrad", "rmsprop", "adadelta", "adam"):
+            st["acc"] = jnp.zeros_like(param)
+        if self.adapt == "adadelta":
+            st["upd"] = jnp.zeros_like(param)
+        if self.adapt == "adam":
+            st["meang"] = jnp.zeros_like(param)
+            st["count"] = (
+                jnp.zeros((param.shape[0],), dtype=jnp.float32)
+                if param.ndim >= 1
+                else jnp.zeros((), dtype=jnp.float32)
+            )
+        if self.momentum > 0:
+            st["velocity"] = jnp.zeros_like(param)
+        return st
+
+    # ------------------------------------------------------------------ #
+    def _adapt_dense(self, g, st):
+        a = self.adapt
+        if a == "adagrad":
+            acc = st["acc"] + g**2
+            st = {**st, "acc": acc}
+            return g / jnp.sqrt(acc + EPSILON), st
+        if a == "rmsprop":
+            acc = self.v1 * st["acc"] + (1.0 - self.v1) * g**2
+            st = {**st, "acc": acc}
+            return g / jnp.sqrt(acc + EPSILON), st
+        if a == "adadelta":
+            acc = self.v1 * st["acc"] + (1.0 - self.v1) * g**2
+            scaling = (st["upd"] + EPSILON) / (acc + EPSILON)
+            upd = self.v1 * st["upd"] + (1.0 - self.v1) * scaling * g**2
+            st = {**st, "acc": acc, "upd": upd}
+            return g * jnp.sqrt(scaling), st
+        if a == "adam":
+            acc = self.v2 * st["acc"] + (1.0 - self.v2) * g**2
+            meang = self.v1 * st["meang"] + (1.0 - self.v1) * g
+            count = st["count"] + 1.0
+            t = count if count.ndim == 0 else count[0]
+            mhat = meang / (1.0 - self.v1**t)
+            vhat = acc / (1.0 - self.v2**t)
+            st = {**st, "acc": acc, "meang": meang, "count": count}
+            return mhat / (jnp.sqrt(vhat) + EPSILON), st
+        return g, st  # plain SGD
+
+    def _adapt_sparse(self, uidx, g, st):
+        """Row-sparse adaptation; ``uidx`` is deduped with a drop-sentinel tail."""
+        a = self.adapt
+        if a == "adagrad":
+            acc = st["acc"].at[uidx].add(g**2, mode="drop")
+            rows = _take_rows(acc, uidx, fill=1.0)
+            st = {**st, "acc": acc}
+            return g / jnp.sqrt(rows + EPSILON), st
+        if a == "rmsprop":
+            rows = self.v1 * _take_rows(st["acc"], uidx) + (1.0 - self.v1) * g**2
+            acc = st["acc"].at[uidx].set(rows, mode="drop")
+            st = {**st, "acc": acc}
+            return g / jnp.sqrt(rows + EPSILON), st
+        if a == "adadelta":
+            acc_rows = self.v1 * _take_rows(st["acc"], uidx) + (1.0 - self.v1) * g**2
+            upd_rows_old = _take_rows(st["upd"], uidx)
+            scaling = (upd_rows_old + EPSILON) / (acc_rows + EPSILON)
+            upd_rows = self.v1 * upd_rows_old + (1.0 - self.v1) * scaling * g**2
+            st = {
+                **st,
+                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop"),
+                "upd": st["upd"].at[uidx].set(upd_rows, mode="drop"),
+            }
+            return g * jnp.sqrt(scaling), st
+        if a == "adam":
+            acc_rows = self.v2 * _take_rows(st["acc"], uidx) + (1.0 - self.v2) * g**2
+            meang_rows = self.v1 * _take_rows(st["meang"], uidx) + (1.0 - self.v1) * g
+            cnt = _take_rows(st["count"], uidx) + 1.0
+            corr1 = 1.0 - self.v1**cnt
+            corr2 = 1.0 - self.v2**cnt
+            if g.ndim > 1:
+                corr1 = corr1[:, None]
+                corr2 = corr2[:, None]
+                cnt_col = cnt
+            else:
+                cnt_col = cnt
+            st = {
+                **st,
+                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop"),
+                "meang": st["meang"].at[uidx].set(meang_rows, mode="drop"),
+                "count": st["count"].at[uidx].set(cnt_col, mode="drop"),
+            }
+            return (meang_rows / corr1) / (jnp.sqrt(acc_rows / corr2) + EPSILON), st
+        return g, st
+
+    # ------------------------------------------------------------------ #
+    def apply_dense(self, p, g, st):
+        g, st = self._adapt_dense(g, st)
+        if self.momentum > 0:
+            vel = self.momentum * st["velocity"] - self.lr * (g + self.lmbd * p)
+            st = {**st, "velocity": vel}
+            return p + vel, st
+        return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
+
+    def apply_sparse(self, table, idx, g, st):
+        """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``."""
+        uidx, g = dedup_rows(idx, g)
+        g, st = self._adapt_sparse(uidx, g, st)
+        if self.lmbd > 0:
+            rows = _take_rows(table, uidx)
+            delta = self.lr * (g + self.lmbd * rows)
+        else:
+            delta = self.lr * g
+        if self.momentum > 0:
+            v2 = self.momentum * _take_rows(st["velocity"], uidx) - delta
+            st = {**st, "velocity": st["velocity"].at[uidx].set(v2, mode="drop")}
+            return table.at[uidx].add(v2, mode="drop"), st
+        return table.at[uidx].add(-delta, mode="drop"), st
+
+    # ------------------------------------------------------------------ #
+    def clip_by_global_norm(self, dense_grads, sparse_grads):
+        """Global-norm gradient clipping over all grads (gru4rec.py:386-389)."""
+        if self.grad_cap <= 0:
+            return dense_grads, sparse_grads
+        sq = sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(dense_grads))
+        sq = sq + sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(sparse_grads))
+        norm = jnp.sqrt(sq)
+        scale = jnp.where(norm >= self.grad_cap, self.grad_cap / norm, 1.0)
+        dense_grads = jax.tree_util.tree_map(lambda g: g * scale, dense_grads)
+        sparse_grads = jax.tree_util.tree_map(lambda g: g * scale, sparse_grads)
+        return dense_grads, sparse_grads
+
+
+def make_optimizer(cfg: GRU4RecConfig) -> Optimizer:
+    return Optimizer(cfg)

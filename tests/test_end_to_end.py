@@ -1,0 +1,106 @@
+"""End-to-end: the model must learn synthetic sequential structure, beat the
+popularity baseline by a wide margin, round-trip through checkpoints, and
+serve predictions consistent with training."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+from gru4rec_tpu.eval import evaluate
+
+
+def markov_data(n_sessions=300, n_items=30, seed=0):
+    """Deterministic first-order transitions: next = (7*i + 3) mod n."""
+    rng = np.random.RandomState(seed)
+    rows, t = [], 0
+    for s in range(n_sessions):
+        i = rng.randint(n_items)
+        for _ in range(rng.randint(3, 8)):
+            rows.append((s, f"item_{i}", t))
+            t += 1
+            i = (7 * i + 3) % n_items
+    return pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+
+
+@pytest.fixture(scope="module")
+def trained():
+    data = markov_data()
+    cfg = GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", hidden_act="tanh",
+        layers=[32], batch_size=16, n_sample=16, sample_alpha=0.5,
+        learning_rate=0.1, momentum=0.1, n_epochs=5, chunk_size=64,
+        item_pad_multiple=32, logq=0.0,
+    )
+    m = GRU4Rec(cfg)
+    m.fit(data)
+    return m, data
+
+
+def test_learns_markov_structure(trained):
+    m, data = trained
+    assert not m.error_during_train
+    test = markov_data(n_sessions=50, seed=99)
+    rec, mrr = evaluate(m, test, cut_off=[1, 5], batch_size=16, mode="standard")
+    # deterministic transitions: recall@1 should be near-perfect;
+    # popularity baseline would score ~1/30.
+    assert rec[0] > 0.8, f"recall@1 = {rec[0]}"
+    assert mrr[1] > 0.8
+
+
+def test_eval_tie_modes_close(trained):
+    m, _ = trained
+    test = markov_data(n_sessions=30, seed=123)
+    res = {}
+    for mode in ("standard", "conservative", "median", "tiebreaking"):
+        rec, mrr = evaluate(m, test, cut_off=[5], batch_size=16, mode=mode)
+        res[mode] = rec[0]
+    # a well-trained continuous-score model should rarely tie
+    assert abs(res["standard"] - res["conservative"]) < 0.05
+    assert abs(res["standard"] - res["median"]) < 0.05
+    assert abs(res["standard"] - res["tiebreaking"]) < 0.05
+
+
+def test_save_load_roundtrip(tmp_path, trained):
+    m, data = trained
+    fname = str(tmp_path / "model.npz")
+    m.savemodel(fname)
+    m2 = GRU4Rec.loadmodel(fname)
+    test = markov_data(n_sessions=20, seed=7)
+    r1, _ = evaluate(m, test, cut_off=[5], batch_size=16)
+    r2, _ = evaluate(m2, test, cut_off=[5], batch_size=16)
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    assert m2.config.layers == m.config.layers
+    assert (m2.itemidmap.values == m.itemidmap.values).all()
+
+
+def test_predict_next_batch(trained):
+    m, _ = trained
+    sessions = np.array([1, 2, 3])
+    items = np.array(["item_0", "item_3", "item_10"])
+    preds = m.predict_next_batch(sessions, items, None, batch=3)
+    assert preds.shape == (m.n_items, 3)
+    # deterministic chain: argmax should be the known next item
+    top = preds.idxmax(axis=0)
+    assert top[0] == "item_3"        # (7*0+3) % 30
+    assert top[1] == "item_24"       # (7*3+3) % 30
+    # item-subset scoring agrees with full-catalog ranking
+    m._predict_fn = None  # force rebuild for the subset shape
+    subset = np.array(["item_3", "item_24", "item_5"])
+    preds_sub = m.predict_next_batch(sessions, items, subset, batch=3)
+    assert preds_sub.shape == (3, 3)
+
+
+def test_nan_abort_sets_error_flag():
+    data = markov_data(n_sessions=30)
+    cfg = GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[16], batch_size=8,
+        n_sample=8, learning_rate=1e6, n_epochs=1, chunk_size=32,
+        item_pad_multiple=32,
+    )
+    m = GRU4Rec(cfg)
+    m.fit(data)
+    # a diverged run must be flagged and unusable (gru4rec.py:626-629)
+    if m.error_during_train:
+        with pytest.raises(Exception):
+            evaluate(m, data, cut_off=[5], batch_size=8)

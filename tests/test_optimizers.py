@@ -1,0 +1,99 @@
+"""Optimizer tests: dense paths vs NumPy oracles of the reference update rules
+(gru4rec.py:300-432), and row-sparse paths vs their dense equivalents
+(duplicate indices summed once — the deterministic dedup semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gru4rec_tpu.config import GRU4RecConfig
+from gru4rec_tpu.train.optimizers import EPSILON, dedup_rows, make_optimizer
+
+
+def test_dedup_rows_sums_duplicates():
+    idx = jnp.asarray(np.array([3, 1, 3, 7, 1, 2**31 - 1], dtype=np.int32))
+    g = jnp.asarray(np.arange(12, dtype=np.float32).reshape(6, 2))
+    uidx, gs = dedup_rows(idx, g)
+    out = {}
+    for i, u in enumerate(np.asarray(uidx)):
+        if u != 2**31 - 1:
+            out[int(u)] = np.asarray(gs)[i]
+    np.testing.assert_allclose(out[3], [0 + 4, 1 + 5])
+    np.testing.assert_allclose(out[1], [2 + 8, 3 + 9])
+    np.testing.assert_allclose(out[7], [6, 7])
+    assert set(out) == {1, 3, 7}
+
+
+@pytest.mark.parametrize("adapt", [None, "adagrad", "rmsprop", "adadelta", "adam"])
+@pytest.mark.parametrize("momentum", [0.0, 0.5])
+def test_sparse_matches_dense(adapt, momentum):
+    """Applying a row-sparse update must equal the dense update restricted to
+    touched rows (with duplicate-index gradients summed)."""
+    cfg = GRU4RecConfig(adapt=adapt, momentum=momentum, learning_rate=0.1, lmbd=0.01)
+    opt = make_optimizer(cfg)
+    rng = np.random.RandomState(0)
+    table = rng.randn(10, 4).astype(np.float32)
+    idx = np.array([2, 5, 2, 7], dtype=np.int32)
+    g = rng.randn(4, 4).astype(np.float32)
+
+    # dense-equivalent: scatter-summed full gradient
+    g_dense = np.zeros_like(table)
+    for i, r in zip(idx, g):
+        g_dense[i] += r
+
+    st_s = opt.init_state(jnp.asarray(table))
+    st_d = opt.init_state(jnp.asarray(table))
+    tbl_s = jnp.asarray(table)
+    tbl_d = jnp.asarray(table)
+    for _ in range(3):  # several steps to exercise state evolution
+        tbl_s, st_s = opt.apply_sparse(tbl_s, jnp.asarray(idx), jnp.asarray(g), st_s)
+        new_d, st_d_new = opt.apply_dense(tbl_d, jnp.asarray(g_dense), st_d)
+        # dense path also updates untouched rows (zero grad still decays state);
+        # compare touched rows only
+        touched = np.unique(idx)
+        np.testing.assert_allclose(
+            np.asarray(tbl_s)[touched], np.asarray(new_d)[touched], rtol=2e-4, atol=1e-6
+        )
+        # untouched rows must be bit-identical to the original in sparse path
+        untouched = np.setdiff1d(np.arange(10), touched)
+        np.testing.assert_array_equal(np.asarray(tbl_s)[untouched], table[untouched])
+        tbl_d = new_d
+        st_d = st_d_new
+
+
+def test_adagrad_dense_oracle():
+    cfg = GRU4RecConfig(adapt="adagrad", learning_rate=0.2, momentum=0.0, lmbd=0.0)
+    opt = make_optimizer(cfg)
+    p = np.array([[1.0, 2.0]], np.float32)
+    g = np.array([[0.5, -1.0]], np.float32)
+    st = opt.init_state(jnp.asarray(p))
+    p1, st = opt.apply_dense(jnp.asarray(p), jnp.asarray(g), st)
+    want = p - 0.2 * g / np.sqrt(g**2 + EPSILON)
+    np.testing.assert_allclose(np.asarray(p1), want, rtol=1e-6)
+
+
+def test_momentum_dense_oracle():
+    """Nesterov-style momentum of the reference (gru4rec.py:400-404)."""
+    cfg = GRU4RecConfig(adapt=None, learning_rate=0.1, momentum=0.9, lmbd=0.0)
+    opt = make_optimizer(cfg)
+    p = np.array([1.0], np.float32)
+    g = np.array([1.0], np.float32)
+    st = opt.init_state(jnp.asarray(p))
+    p1, st = opt.apply_dense(jnp.asarray(p), jnp.asarray(g), st)
+    v1 = -0.1 * 1.0
+    np.testing.assert_allclose(np.asarray(p1), p + v1, rtol=1e-6)
+    p2, st = opt.apply_dense(p1, jnp.asarray(g), st)
+    v2 = 0.9 * v1 - 0.1
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1) + v2, rtol=1e-6)
+
+
+def test_grad_cap():
+    cfg = GRU4RecConfig(grad_cap=1.0)
+    opt = make_optimizer(cfg)
+    dense = {"a": jnp.asarray(np.array([3.0, 4.0], np.float32))}  # norm 5
+    sparse = {}
+    d2, _ = opt.clip_by_global_norm(dense, sparse)
+    np.testing.assert_allclose(np.asarray(d2["a"]), [0.6, 0.8], rtol=1e-6)
+    cfg2 = GRU4RecConfig(grad_cap=10.0)
+    d3, _ = make_optimizer(cfg2).clip_by_global_norm(dense, sparse)
+    np.testing.assert_allclose(np.asarray(d3["a"]), [3.0, 4.0])
