@@ -1,0 +1,82 @@
+"""Headline benchmark: training throughput on the RetailRocket best-config.
+
+The reference's flagship number (BASELINE.md): GRU-224, batch 80, bpr-max,
+2048 extra negatives, constrained embedding — ~81,400 events/s (~6.8 s/epoch,
+~1,026 mb/s) on an NVIDIA A30 (reference README.md:153-163).
+
+RetailRocket itself cannot be downloaded in this environment (zero egress),
+so the benchmark trains on a synthetic dataset matched to its published
+shape: ~37k items, ~750k training events, zipf-ish popularity, short
+sessions. Throughput is compute-bound on the model/batch/negative-sample
+shape, not on item-ID content, so events/s is comparable.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "events/s", "vs_baseline": N/81400}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+BASELINE_EVENTS_PER_S = 81_400.0  # reference README.md:153-163 (NVIDIA A30)
+
+# RetailRocket-shaped synthetic data (README.md:349-356 row: retailrocket)
+N_ITEMS = 36_968
+N_EVENTS_TARGET = 750_000
+MEAN_SESSION_LEN = 5.5
+
+
+def synth_data(seed=0):
+    rng = np.random.RandomState(seed)
+    n_sessions = int(N_EVENTS_TARGET / MEAN_SESSION_LEN)
+    lens = 2 + rng.geometric(1.0 / (MEAN_SESSION_LEN - 2.0), size=n_sessions)
+    total = int(lens.sum())
+    # zipf-ish popularity over items
+    ranks = np.arange(1, N_ITEMS + 1, dtype=np.float64)
+    p = 1.0 / ranks**0.8
+    p /= p.sum()
+    items = rng.choice(N_ITEMS, size=total, p=p).astype(np.int64)
+    sess = np.repeat(np.arange(n_sessions, dtype=np.int64), lens)
+    return pd.DataFrame(
+        {"SessionId": sess, "ItemId": items, "Time": np.arange(total, dtype=np.int64)}
+    )
+
+
+def main():
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+
+    data = synth_data()
+    cfg = GRU4RecConfig(
+        loss="bpr-max", final_act="elu-0.5", hidden_act="tanh", layers=[224],
+        batch_size=80, n_sample=2048, sample_alpha=0.4, bpreg=1.95,
+        learning_rate=0.05, momentum=0.4, dropout_p_embed=0.0,
+        dropout_p_hidden=0.0, constrained_embedding=True,
+        n_epochs=1, chunk_size=512,
+    )
+    model = GRU4Rec(cfg)
+
+    # epoch 1 = compile + warmup; epochs 2-4 are the measurement
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        model.fit(data, n_epochs=4)
+    print(buf.getvalue(), file=sys.stderr)
+
+    warm = model.epoch_stats[1:]
+    eps = sum(e["events"] for e in warm) / sum(e["seconds"] for e in warm)
+
+    print(json.dumps({
+        "metric": "train_events_per_s_retailrocket_shape",
+        "value": round(eps, 1),
+        "unit": "events/s",
+        "vs_baseline": round(eps / BASELINE_EVENTS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

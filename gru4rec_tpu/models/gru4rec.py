@@ -69,6 +69,7 @@ class GRU4Rec:
         cfg = self.config
         self._predict_fn = None
         self.error_during_train = False
+        self.epoch_stats = []  # per-epoch {loss, seconds, steps, events}
         item_key, session_key, time_key = cfg.item_key, cfg.session_key, cfg.time_key
 
         self.itemidmap = build_itemidmap(data, item_key)
@@ -100,18 +101,26 @@ class GRU4Rec:
         C = cfg.chunk_size
         epochs = cfg.n_epochs if n_epochs is None else n_epochs
 
+        cached_sched = None
         for epoch in range(epochs):
             t0 = time.time()
             state = state._replace(H=tuple(gru.init_hidden(cfg, cfg.batch_size)))
-            order = (
-                epoch_rng.permutation(len(offsets) - 1)
-                if cfg.train_random_order
-                else base_order
-            )
-            sched = build_schedule(
-                data_items, offsets, order, cfg.batch_size,
-                require_two_lanes=(cfg.n_sample == 0),
-            )
+            if cfg.train_random_order:
+                order = epoch_rng.permutation(len(offsets) - 1)
+                sched = build_schedule(
+                    data_items, offsets, order, cfg.batch_size,
+                    require_two_lanes=(cfg.n_sample == 0),
+                )
+            else:
+                # deterministic session order => the schedule is identical
+                # every epoch; build once (the reference re-runs its host
+                # loop per epoch, gru4rec.py:587)
+                if cached_sched is None:
+                    cached_sched = build_schedule(
+                        data_items, offsets, base_order, cfg.batch_size,
+                        require_two_lanes=(cfg.n_sample == 0),
+                    )
+                sched = cached_sched
             T = sched.n_steps
             loss_parts, ev_parts = [], []
             for t0c in range(0, T, C):
@@ -137,6 +146,9 @@ class GRU4Rec:
                 self.error_during_train = True
                 return self
             dt = time.time() - t0
+            self.epoch_stats.append(
+                {"loss": avgc, "seconds": dt, "steps": T, "events": total_events}
+            )
             print(
                 "Epoch{} --> loss: {:.6f} \t({:.2f}s) \t[{:.2f} mb/s | {:.0f} e/s]".format(
                     epoch + 1, avgc, dt, T / dt, total_events / dt

@@ -41,11 +41,16 @@ def masked_softmax_logit(x, col_valid=None, axis=-1):
     return jnp.log(jnp.sum(e_x, axis=axis, keepdims=True)) - x
 
 
-def softmax_neg(x, col_valid=None):
-    """Softmax over each row's *negatives*: the diagonal (the row's own positive)
-    is masked out (reference softmax_neg: gru4rec.py:199-203). 2D input only."""
-    n = x.shape[0]
-    hm = 1.0 - jnp.eye(n, x.shape[1], dtype=x.dtype)
+def softmax_neg(x, col_valid=None, diag_offset=0):
+    """Softmax over each row's *negatives*: the entry holding the row's own
+    positive is masked out (reference softmax_neg: gru4rec.py:199-203).
+    2D input only; under data-parallel sharding the positive of local row i
+    sits at column i + diag_offset."""
+    import jax
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    hm = (cols != rows + diag_offset).astype(x.dtype)
     if col_valid is not None:
         hm = hm * col_valid.astype(x.dtype)
     x = x * hm

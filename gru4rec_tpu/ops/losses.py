@@ -23,10 +23,13 @@ from gru4rec_tpu.ops.activations import softmax_neg
 _EPS = 1e-24
 
 
-def _diag(yhat):
+def _diag(yhat, offset=0):
+    """Each row's positive score. Under data-parallel sharding the local
+    score block's positives sit at column ``row + offset`` (offset =
+    data_shard_index * local_batch)."""
     b = yhat.shape[0]
     idx = jnp.arange(b)
-    return yhat[idx, idx]
+    return yhat[idx, idx + offset]
 
 
 def _sanitize(yhat, row_valid, col_valid):
@@ -42,9 +45,9 @@ def get_loss(loss: str, n_sample: int, smoothing: float = 0.0, bpreg: float = 1.
     """
     if loss == "cross-entropy":
 
-        def cross_entropy(yhat, M, row_valid, col_valid):
+        def cross_entropy(yhat, M, row_valid, col_valid, diag_offset=0):
             yhat, mask2d = _sanitize(yhat, row_valid, col_valid)
-            d = _diag(yhat)
+            d = _diag(yhat, diag_offset)
             core = -jnp.log(d + _EPS)
             if smoothing:
                 n_out = M + n_sample
@@ -60,9 +63,9 @@ def get_loss(loss: str, n_sample: int, smoothing: float = 0.0, bpreg: float = 1.
 
     if loss == "xe_logit":
         # Expects yhat = softmax_logit output, i.e. -log softmax (gru4rec.py:231-236).
-        def cross_entropy_logits(yhat, M, row_valid, col_valid):
+        def cross_entropy_logits(yhat, M, row_valid, col_valid, diag_offset=0):
             mask2d = row_valid[:, None] & col_valid[None, :]
-            d = _diag(jnp.where(mask2d, yhat, 0.0))
+            d = _diag(jnp.where(mask2d, yhat, 0.0), diag_offset)
             if smoothing:
                 n_out = M + n_sample
                 colsum = jnp.sum(jnp.where(mask2d, yhat, 0.0), axis=1)
@@ -77,9 +80,9 @@ def get_loss(loss: str, n_sample: int, smoothing: float = 0.0, bpreg: float = 1.
 
     if loss == "bpr":
 
-        def bpr(yhat, M, row_valid, col_valid):
+        def bpr(yhat, M, row_valid, col_valid, diag_offset=0):
             yhat, mask2d = _sanitize(yhat, row_valid, col_valid)
-            d = _diag(yhat)[:, None]
+            d = _diag(yhat, diag_offset)[:, None]
             term = -jnp.log(jax.nn.sigmoid(d - yhat))
             per_row = jnp.sum(jnp.where(mask2d, term, 0.0), axis=1)
             return jnp.sum(jnp.where(row_valid, per_row, 0.0)).astype(jnp.float32)
@@ -88,10 +91,10 @@ def get_loss(loss: str, n_sample: int, smoothing: float = 0.0, bpreg: float = 1.
 
     if loss == "bpr-max":
 
-        def bpr_max(yhat, M, row_valid, col_valid):
+        def bpr_max(yhat, M, row_valid, col_valid, diag_offset=0):
             yhat, mask2d = _sanitize(yhat, row_valid, col_valid)
-            ss = softmax_neg(yhat, col_valid)  # zeroes the diagonal and dead columns
-            d = _diag(yhat)[:, None]
+            ss = softmax_neg(yhat, col_valid, diag_offset)  # zeroes positives and dead columns
+            d = _diag(yhat, diag_offset)[:, None]
             pairwise = jax.nn.sigmoid(d - yhat) * ss
             per_row = -jnp.log(jnp.sum(pairwise, axis=1) + _EPS) + bpreg * jnp.sum(
                 (yhat**2) * ss, axis=1
@@ -102,9 +105,9 @@ def get_loss(loss: str, n_sample: int, smoothing: float = 0.0, bpreg: float = 1.
 
     if loss == "top1":
 
-        def top1(yhat, M, row_valid, col_valid):
+        def top1(yhat, M, row_valid, col_valid, diag_offset=0):
             yhat, mask2d = _sanitize(yhat, row_valid, col_valid)
-            d = _diag(yhat)[:, None]
+            d = _diag(yhat, diag_offset)[:, None]
             n_cols = M + n_sample  # valid column count (traced scalar)
             term = jax.nn.sigmoid(-d + yhat) + jax.nn.sigmoid(yhat**2)
             per_row = (
@@ -117,10 +120,10 @@ def get_loss(loss: str, n_sample: int, smoothing: float = 0.0, bpreg: float = 1.
 
     if loss == "top1-max":
 
-        def top1_max(yhat, M, row_valid, col_valid):
+        def top1_max(yhat, M, row_valid, col_valid, diag_offset=0):
             yhat, mask2d = _sanitize(yhat, row_valid, col_valid)
-            ss = softmax_neg(yhat, col_valid)
-            d = _diag(yhat)[:, None]
+            ss = softmax_neg(yhat, col_valid, diag_offset)
+            d = _diag(yhat, diag_offset)[:, None]
             term = ss * (jax.nn.sigmoid(-d + yhat) + jax.nn.sigmoid(yhat**2))
             per_row = jnp.sum(term, axis=1)
             return jnp.sum(jnp.where(row_valid, per_row, 0.0)).astype(jnp.float32)

@@ -1,0 +1,267 @@
+"""Multi-chip training step: shard_map over the (data, model) mesh.
+
+Per-device program (one SPMD function, collectives over ICI):
+
+* lanes are split over ``data``; each device runs its own lane block through
+  the GRU and scores it against the *global* target set (within-batch
+  negatives couple lanes, so targets/validity are ``all_gather``-ed — a
+  (B,)-sized int transfer, tiny);
+* item tables are row-sharded over ``model``; a row gather is a shard-local
+  take (out-of-shard rows fill 0) + ``psum``, a row update is a shard-local
+  deduped scatter (out-of-shard rows dropped);
+* dense-parameter gradients are ``psum``-ed over ``data`` and applied
+  redundantly (replicated params);
+* the positive-score diagonal of each local score block is shifted by
+  ``data_index * local_batch`` (ops/losses.py diag_offset).
+
+The reference has no distributed backend at all (SURVEY.md §2.10); this
+module is new capability, not a port.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gru4rec_tpu.config import GRU4RecConfig
+from gru4rec_tpu.models import gru
+from gru4rec_tpu.ops.losses import get_loss
+from gru4rec_tpu.ops.sampling import sample_negatives
+from gru4rec_tpu.parallel.mesh import param_pspecs, state_pspecs
+from gru4rec_tpu.train.optimizers import make_optimizer
+from gru4rec_tpu.train.step import SENTINEL, init_train_state, merge_dense, split_params
+
+
+def shard_train_state(state, cfg: GRU4RecConfig, mesh):
+    """Place a freshly-initialized TrainState according to the mesh layout."""
+    mode = gru.input_mode(cfg)
+    pspec = param_pspecs(state.params, mode)
+    sspec = state_pspecs(state.opt_state, state.params, mode)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    params = jax.tree_util.tree_map(put, state.params, pspec)
+    opt_state = jax.tree_util.tree_map(put, state.opt_state, sspec)
+    H = tuple(put(h, P("data", None)) for h in state.H)
+    key = put(state.key, P())
+    step = put(state.step, P())
+    return state._replace(params=params, opt_state=opt_state, H=H, key=key, step=step)
+
+
+def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
+    """Build the jitted shard_map training chunk. Same contract as
+    train/step.py:make_chunk_fn, but state/schedule arrive sharded."""
+    mode = gru.input_mode(cfg)
+    loss_fn = get_loss(cfg.loss, cfg.n_sample, cfg.smoothing, cfg.bpreg)
+    opt = make_optimizer(cfg)
+    B = cfg.batch_size
+    n_sample = cfg.n_sample
+    use_logq = bool(cfg.logq)
+    nd = mesh.shape["data"]
+    nm = mesh.shape["model"]
+    if B % nd:
+        raise ValueError(f"batch_size {B} must divide over data axis {nd}")
+    B_local = B // nd
+
+    def chunk_body(params, opt_state, H, key, step, in_c, out_c, valid_c, reset_c,
+                   cdf, logp0):
+        rows_local = params["Wy"].shape[0]  # n_pad // nm
+        mi = jax.lax.axis_index("model")
+        di = jax.lax.axis_index("data")
+        r0 = mi * rows_local
+        diag_offset = di * B_local
+
+        def gather_rows(shard, idx):
+            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0, rows_local)
+            rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
+            return jax.lax.psum(rows, "model")
+
+        def to_local(idx):
+            return jnp.where(
+                (idx >= r0) & (idx < r0 + rows_local), idx - r0, SENTINEL
+            ).astype(jnp.int32)
+
+        chunk = in_c.shape[0]
+        if n_sample > 0:
+            neg = sample_negatives(
+                jax.random.fold_in(jax.random.fold_in(key, 1), step),
+                cdf, chunk, n_sample, n_items, cfg.sample_alpha,
+            )  # identical on every device: replicated key
+        else:
+            neg = jnp.zeros((chunk, 0), jnp.int32)
+
+        def step_fn(carry, xs):
+            params, opt_state, H, key, step, loss_sum, ev_count = carry
+            in_l, out_l, valid_l, reset_l, neg_t = xs
+            step_key = jax.random.fold_in(jax.random.fold_in(key, 0), step)
+            # per-device dropout must differ per lane block
+            step_key = jax.random.fold_in(step_key, di)
+
+            valid_all = jax.lax.all_gather(valid_l, "data", tiled=True)
+            out_all = jax.lax.all_gather(out_l, "data", tiled=True)
+            M = jnp.sum(valid_all)
+            any_valid = M > 0
+            Mf = M.astype(jnp.float32)
+
+            if n_sample > 0:
+                col_valid = jnp.concatenate([valid_all, jnp.ones((n_sample,), bool)])
+                Y = jnp.concatenate([jnp.where(valid_all, out_all, 0), neg_t])
+                Y_scatter = jnp.concatenate(
+                    [jnp.where(valid_all, out_all, SENTINEL), neg_t]
+                ).astype(jnp.int32)
+            else:
+                col_valid = valid_all
+                Y = jnp.where(valid_all, out_all, 0)
+                Y_scatter = jnp.where(valid_all, out_all, SENTINEL).astype(jnp.int32)
+            Xg = jnp.where(valid_l, in_l, 0)
+            X_scatter = jnp.where(valid_l, in_l, SENTINEL).astype(jnp.int32)
+
+            H = tuple(jnp.where(reset_l[:, None], 0.0, h) for h in H)
+
+            if mode == "onehot":
+                srows = {
+                    "Wx0": gather_rows(params["Wx"][0], Xg),
+                    "Wy": gather_rows(params["Wy"], Y),
+                    "By": gather_rows(params["By"], Y),
+                }
+            elif mode == "embedding":
+                srows = {
+                    "E": gather_rows(params["E"], Xg),
+                    "Wy": gather_rows(params["Wy"], Y),
+                    "By": gather_rows(params["By"], Y),
+                }
+            else:  # constrained
+                srows = {
+                    "WyS": jnp.concatenate(
+                        [gather_rows(params["Wy"], Xg), gather_rows(params["Wy"], Y)]
+                    ),
+                    "By": gather_rows(params["By"], Y),
+                }
+
+            logq_corr = None
+            if use_logq:
+                lp_pos = jnp.take(logp0, Y[:B] if n_sample > 0 else Y)
+                if n_sample > 0:
+                    lp_neg = cfg.sample_alpha * jnp.take(logp0, neg_t)
+                    logq_corr = cfg.logq * jnp.concatenate([lp_pos, lp_neg])
+                else:
+                    logq_corr = cfg.logq * lp_pos
+
+            dense, _ = split_params(params, mode)
+
+            def loss_of(dense_p, srows_p):
+                fwd_params = merge_dense(params, dense_p, mode)
+                H_new, yhat = gru.forward(
+                    fwd_params, srows_p, list(H), cfg, M=B_local, training=True,
+                    key=step_key, col_valid=col_valid, logq_correction=logq_corr,
+                )
+                cost = loss_fn(yhat, Mf, valid_l, col_valid, diag_offset) / B
+                return cost, tuple(H_new)
+
+            (cost_local, H_new), grads = jax.value_and_grad(
+                loss_of, argnums=(0, 1), has_aux=True
+            )(dense, srows)
+            g_dense, g_srows = grads
+            cost = jax.lax.psum(cost_local, "data")
+
+            # --- communicate gradients: everyone ends up with the global set ---
+            g_dense = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, "data"), g_dense
+            )
+            scatter: Dict[str, tuple] = {}
+            if mode == "constrained":
+                gS = g_srows["WyS"]
+                gX = jax.lax.all_gather(gS[:B_local], "data", tiled=True)  # (B, h)
+                gY = jax.lax.psum(gS[B_local:], "data")                    # (N, h)
+                X_all = jax.lax.all_gather(X_scatter, "data", tiled=True)  # (B,)
+                scatter["Wy"] = (
+                    jnp.concatenate([X_all, Y_scatter]),
+                    jnp.concatenate([gX, gY]),
+                )
+                scatter["By"] = (Y_scatter, jax.lax.psum(g_srows["By"], "data"))
+            else:
+                xname = "Wx0" if mode == "onehot" else "E"
+                gX = jax.lax.all_gather(g_srows[xname], "data", tiled=True)
+                X_all = jax.lax.all_gather(X_scatter, "data", tiled=True)
+                scatter[xname] = (X_all, gX)
+                scatter["Wy"] = (Y_scatter, jax.lax.psum(g_srows["Wy"], "data"))
+                scatter["By"] = (Y_scatter, jax.lax.psum(g_srows["By"], "data"))
+
+            sparse_flat = [g for _, g in scatter.values()]
+            g_dense, sparse_flat = opt.clip_by_global_norm(g_dense, sparse_flat)
+            scatter = {
+                k: (idx, g2)
+                for (k, (idx, _)), g2 in zip(scatter.items(), sparse_flat)
+            }
+
+            # --- dense updates (replicated, identical on all devices) ---
+            new_dense, new_dense_state = {}, {}
+            for group in ("Wx", "Wh", "Wrz", "Bh"):
+                ps, gs, sts = dense[group], g_dense[group], opt_state["dense"][group]
+                ups = [opt.apply_dense(p, g, st) for p, g, st in zip(ps, gs, sts)]
+                new_dense[group] = tuple(u[0] for u in ups)
+                new_dense_state[group] = tuple(u[1] for u in ups)
+            sel = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(any_valid, a, b), new, old
+            )
+            new_dense = sel(new_dense, dense)
+            new_dense_state = sel(new_dense_state, opt_state["dense"])
+
+            # --- sparse updates on the local table shard ---
+            new_params = merge_dense(params, new_dense, mode)
+            new_sparse_state = dict(opt_state["sparse"])
+            for name, (idx, g) in scatter.items():
+                idx_l = to_local(idx)
+                if name == "Wx0":
+                    table = new_params["Wx"][0]
+                else:
+                    table = new_params[name]
+                table, new_sparse_state[name] = opt.apply_sparse(
+                    table, idx_l, g, opt_state["sparse"][name]
+                )
+                if name == "Wx0":
+                    new_params["Wx"] = [table] + list(new_params["Wx"][1:])
+                else:
+                    new_params[name] = table
+
+            H_out = tuple(
+                jnp.where(valid_l[:, None], hn, ho) for hn, ho in zip(H_new, H)
+            )
+            new_opt_state = {"dense": new_dense_state, "sparse": new_sparse_state}
+            return (
+                new_params, new_opt_state, H_out, key, step + 1,
+                loss_sum + cost * Mf, ev_count + Mf,
+            ), None
+
+        carry = (
+            params, opt_state, H, key, step,
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        )
+        carry, _ = jax.lax.scan(step_fn, carry, (in_c, out_c, valid_c, reset_c, neg))
+        params, opt_state, H, key, step, loss_sum, ev_count = carry
+        return params, opt_state, H, key, step, loss_sum, ev_count
+
+    # --- wire up shard_map specs ---
+    dummy = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
+    pspec = param_pspecs(dummy.params, mode)
+    sspec = state_pspecs(dummy.opt_state, dummy.params, mode)
+    h_spec = tuple(P("data", None) for _ in cfg.layers)
+    sched_spec = P(None, "data")
+    in_specs = (
+        pspec, sspec, h_spec, P(), P(),
+        sched_spec, sched_spec, sched_spec, sched_spec, P(None), P(None),
+    )
+    out_specs = (pspec, sspec, h_spec, P(), P(), P(), P())
+    del dummy
+
+    sharded = jax.shard_map(
+        chunk_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1, 2))

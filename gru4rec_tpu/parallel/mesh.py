@@ -1,0 +1,76 @@
+"""Device mesh and sharding specs for multi-chip training.
+
+The reference is strictly single-GPU (SURVEY.md §2.10); parallelism here is
+introduced natively with ``jax.sharding`` over a 2-D mesh:
+
+* ``data`` axis — the session-parallel *lanes* are embarrassingly parallel
+  (each lane walks its own sessions); batch rows, hidden state rows, and the
+  schedule's lane dimension shard over it. Gradients of replicated dense
+  parameters are ``psum``-reduced over ICI.
+* ``model`` axis — the item-dimensioned tables (Wy, By, E, the one-hot Wx0)
+  and their optimizer accumulators are row-sharded (vocabulary can be much
+  larger than the hidden layer: EP/TP-style table sharding). Row gathers are
+  shard-local takes followed by a ``psum``; scatters apply shard-locally
+  with out-of-shard rows dropped.
+
+PP/SP are deliberately out of scope: the model has no attention and the
+recurrence is carried step-by-step by persistent state, not by an unrolled
+sequence (SURVEY.md §2.10, §5 long-context row).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, have {len(devices)}"
+        )
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def factor_mesh(n_devices: int) -> Tuple[int, int]:
+    """Pick a (data, model) split for n devices: prefer a 2-D mesh so both
+    lane parallelism and table sharding are exercised."""
+    for n_model in (4, 2, 1):
+        if n_devices % n_model == 0 and n_devices >= n_model:
+            return n_devices // n_model, n_model
+    return n_devices, 1
+
+
+def param_pspecs(params: dict, mode: str) -> dict:
+    """PartitionSpecs for the parameter dict: item tables row-sharded over
+    'model', everything else replicated."""
+    specs = {
+        "Wx": [P("model", None) if (i == 0 and mode == "onehot") else P(None, None)
+               for i in range(len(params["Wx"]))],
+        "Wh": [P(None, None)] * len(params["Wh"]),
+        "Wrz": [P(None, None)] * len(params["Wrz"]),
+        "Bh": [P(None)] * len(params["Bh"]),
+        "Wy": P("model", None),
+        "By": P("model"),
+    }
+    if "E" in params:
+        specs["E"] = P("model", None)
+    return specs
+
+
+def state_pspecs(opt_state: dict, params: dict, mode: str) -> dict:
+    """PartitionSpecs for optimizer state, mirroring the parameter layout."""
+    dense_specs = jax.tree_util.tree_map(
+        lambda leaf: P(*([None] * leaf.ndim)), opt_state["dense"]
+    )
+    sparse_specs = {}
+    for name, st in opt_state["sparse"].items():
+        sparse_specs[name] = jax.tree_util.tree_map(
+            lambda leaf: P("model", *([None] * (leaf.ndim - 1))), st
+        )
+    return {"dense": dense_specs, "sparse": sparse_specs}

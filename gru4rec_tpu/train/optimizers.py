@@ -58,7 +58,11 @@ def dedup_rows(idx, g):
 
 
 def _take_rows(table, uidx, fill=0.0):
-    return jnp.take(table, uidx, axis=0, mode="fill", fill_value=fill)
+    # uidx comes from dedup_rows: sorted ascending with a sentinel tail.
+    # Sorted+unique gather/scatter hits a ~2x faster XLA path on TPU.
+    return table.at[uidx].get(
+        mode="fill", fill_value=fill, indices_are_sorted=True, unique_indices=True
+    )
 
 
 class Optimizer:
@@ -126,13 +130,13 @@ class Optimizer:
         """Row-sparse adaptation; ``uidx`` is deduped with a drop-sentinel tail."""
         a = self.adapt
         if a == "adagrad":
-            acc = st["acc"].at[uidx].add(g**2, mode="drop")
-            rows = _take_rows(acc, uidx, fill=1.0)
+            rows = _take_rows(st["acc"], uidx) + g**2
+            acc = st["acc"].at[uidx].set(rows, mode="drop", indices_are_sorted=True, unique_indices=True)
             st = {**st, "acc": acc}
             return g / jnp.sqrt(rows + EPSILON), st
         if a == "rmsprop":
             rows = self.v1 * _take_rows(st["acc"], uidx) + (1.0 - self.v1) * g**2
-            acc = st["acc"].at[uidx].set(rows, mode="drop")
+            acc = st["acc"].at[uidx].set(rows, mode="drop", indices_are_sorted=True, unique_indices=True)
             st = {**st, "acc": acc}
             return g / jnp.sqrt(rows + EPSILON), st
         if a == "adadelta":
@@ -142,8 +146,8 @@ class Optimizer:
             upd_rows = self.v1 * upd_rows_old + (1.0 - self.v1) * scaling * g**2
             st = {
                 **st,
-                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop"),
-                "upd": st["upd"].at[uidx].set(upd_rows, mode="drop"),
+                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
+                "upd": st["upd"].at[uidx].set(upd_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
             }
             return g * jnp.sqrt(scaling), st
         if a == "adam":
@@ -160,9 +164,9 @@ class Optimizer:
                 cnt_col = cnt
             st = {
                 **st,
-                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop"),
-                "meang": st["meang"].at[uidx].set(meang_rows, mode="drop"),
-                "count": st["count"].at[uidx].set(cnt_col, mode="drop"),
+                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
+                "meang": st["meang"].at[uidx].set(meang_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
+                "count": st["count"].at[uidx].set(cnt_col, mode="drop", indices_are_sorted=True, unique_indices=True),
             }
             return (meang_rows / corr1) / (jnp.sqrt(acc_rows / corr2) + EPSILON), st
         return g, st
@@ -187,9 +191,9 @@ class Optimizer:
             delta = self.lr * g
         if self.momentum > 0:
             v2 = self.momentum * _take_rows(st["velocity"], uidx) - delta
-            st = {**st, "velocity": st["velocity"].at[uidx].set(v2, mode="drop")}
-            return table.at[uidx].add(v2, mode="drop"), st
-        return table.at[uidx].add(-delta, mode="drop"), st
+            st = {**st, "velocity": st["velocity"].at[uidx].set(v2, mode="drop", indices_are_sorted=True, unique_indices=True)}
+            return table.at[uidx].add(v2, mode="drop", indices_are_sorted=True, unique_indices=True), st
+        return table.at[uidx].add(-delta, mode="drop", indices_are_sorted=True, unique_indices=True), st
 
     # ------------------------------------------------------------------ #
     def clip_by_global_norm(self, dense_grads, sparse_grads):

@@ -1,0 +1,104 @@
+"""Multi-device tests on the virtual 8-CPU mesh: the distributed training
+chunk (DP lanes x model-sharded tables) must produce the same parameters and
+loss as the single-device chunk, bit-for-bit up to float reassociation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gru4rec_tpu.config import GRU4RecConfig
+from gru4rec_tpu.parallel.dist_step import make_dist_chunk_fn, shard_train_state
+from gru4rec_tpu.parallel.mesh import factor_mesh, make_mesh
+from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mk_inputs(cfg, n_items, seed=0):
+    rng = np.random.RandomState(seed)
+    C, B = cfg.chunk_size, cfg.batch_size
+    in_c = rng.randint(0, n_items, (C, B)).astype(np.int32)
+    out_c = rng.randint(0, n_items, (C, B)).astype(np.int32)
+    valid_c = np.ones((C, B), bool)
+    valid_c[-1, B // 2:] = False  # exercise dead lanes
+    reset_c = np.zeros((C, B), bool)
+    reset_c[0] = True
+    reset_c[2, :2] = True
+    n_pad = ((n_items + cfg.item_pad_multiple - 1) // cfg.item_pad_multiple) * cfg.item_pad_multiple
+    cdf = np.linspace(0.01, 1.0, n_items, dtype=np.float32)
+    logp0 = np.abs(rng.randn(n_pad)).astype(np.float32) + 0.1
+    return in_c, out_c, valid_c, reset_c, cdf, logp0
+
+
+@pytest.mark.parametrize("mode_kwargs", [
+    {"constrained_embedding": True},
+    {"embedding": 16},
+    {},
+])
+@pytest.mark.parametrize("loss", ["bpr-max", "cross-entropy"])
+def test_dist_matches_single_device(mode_kwargs, loss):
+    n_items = 90
+    cfg = GRU4RecConfig(
+        loss=loss, final_act="softmax" if loss == "cross-entropy" else "elu-1",
+        layers=[16], batch_size=8, n_sample=12, chunk_size=5,
+        item_pad_multiple=32, learning_rate=0.1, momentum=0.2, logq=1.0,
+        dropout_p_hidden=0.0, dropout_p_embed=0.0, **mode_kwargs,
+    )
+    inputs = _mk_inputs(cfg, n_items)
+    args = tuple(jnp.asarray(a) for a in inputs)
+
+    # single device (the key buffer is donated by the chunk call: use a fresh
+    # PRNGKey per state)
+    s1 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
+    f1 = make_chunk_fn(cfg, n_items)
+    s1, loss1, ev1 = f1(s1, *args[:4], args[4], args[5])
+
+    # 2 data x 4 model mesh
+    mesh = make_mesh(2, 4)
+    s2 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
+    s2 = shard_train_state(s2, cfg, mesh)
+    f2 = make_dist_chunk_fn(cfg, n_items, mesh)
+    out = f2(s2.params, s2.opt_state, s2.H, s2.key, s2.step, *args[:4], args[4], args[5])
+    params2, _, H2, _, _, loss2, ev2 = out
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    assert float(ev1) == float(ev2)
+    for k in ("Wy", "By"):
+        np.testing.assert_allclose(
+            np.asarray(s1.params[k]), np.asarray(params2[k]), rtol=2e-4, atol=1e-6,
+            err_msg=k,
+        )
+    for i in range(len(cfg.layers)):
+        np.testing.assert_allclose(
+            np.asarray(s1.params["Wh"][i]), np.asarray(params2["Wh"][i]),
+            rtol=2e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.H[i]), np.asarray(H2[i]), rtol=2e-4, atol=1e-6
+        )
+    if "E" in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params["E"]), np.asarray(params2["E"]), rtol=2e-4, atol=1e-6
+        )
+    if not mode_kwargs:  # one-hot: Wx0 is a sharded table
+        np.testing.assert_allclose(
+            np.asarray(s1.params["Wx"][0]), np.asarray(params2["Wx"][0]),
+            rtol=2e-4, atol=1e-6,
+        )
+
+
+def test_factor_mesh():
+    assert factor_mesh(8) == (2, 4)
+    assert factor_mesh(4) == (1, 4)
+    assert factor_mesh(2) == (1, 2)
+    assert factor_mesh(1) == (1, 1)
+    assert factor_mesh(6) == (3, 2)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
