@@ -1,0 +1,175 @@
+"""Hyperparameter optimization driver.
+
+Parity with the reference's paropt.py: JSONL parameter-space files
+(int/float/categorical with step and log options, paropt.py:59-88), trials
+run as isolated ``run.py`` subprocesses whose stdout is scraped for the
+``PRIMARY METRIC:`` line (paropt.py:44-57), and a final re-evaluation of the
+best parameters (paropt.py:112-121).
+
+Uses Optuna's TPE when available; otherwise falls back to a built-in
+random-search sampler over the same space (this environment has no Optuna —
+trial-level process isolation and the metric contract are what matter).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+
+class Parameter:
+    """One line of a JSONL parameter-space file (reference: paropt.py:59-88)."""
+
+    def __init__(self, name, dtype, values, step=None, log=False):
+        assert dtype in ("int", "float", "categorical")
+        assert isinstance(values, list)
+        assert len(values) == 2 or dtype == "categorical"
+        self.name = name
+        self.dtype = dtype
+        self.values = values
+        self.step = 1 if (step is None and dtype == "int") else step
+        self.log = log
+
+    @classmethod
+    def fromjson(cls, json_string):
+        obj = json.loads(json_string)
+        return cls(obj["name"], obj["dtype"], obj["values"], obj.get("step"),
+                   obj.get("log", False))
+
+    def suggest_optuna(self, trial):
+        if self.dtype == "int":
+            return trial.suggest_int(self.name, int(self.values[0]), int(self.values[1]),
+                                     step=self.step, log=self.log)
+        if self.dtype == "float":
+            return trial.suggest_float(self.name, float(self.values[0]), float(self.values[1]),
+                                       step=self.step, log=self.log)
+        return trial.suggest_categorical(self.name, self.values)
+
+    def suggest_random(self, rng: np.random.RandomState):
+        if self.dtype == "categorical":
+            return self.values[rng.randint(len(self.values))]
+        lo, hi = float(self.values[0]), float(self.values[1])
+        if self.log:
+            v = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        else:
+            v = float(rng.uniform(lo, hi))
+        if self.step:
+            v = lo + round((v - lo) / self.step) * self.step
+        if self.dtype == "int":
+            return int(round(v))
+        return round(v, 10)
+
+    def __str__(self):
+        desc = f"PARAMETER {self.name} \t type={self.dtype}"
+        if self.dtype in ("int", "float"):
+            desc += " \t range=[{}..{}] (step={}) \t {} scale".format(
+                self.values[0], self.values[1],
+                self.step if self.step is not None else "N/A",
+                "LOG" if self.log else "UNIFORM")
+        else:
+            desc += " \t options: [{}]".format(",".join(str(x) for x in self.values))
+        return desc
+
+
+def generate_command(args, optimized_param_str, measure, log_pm=True):
+    cmd = [
+        sys.executable, "-m", "gru4rec_tpu.cli.run", args.path,
+        "-t", args.test, "-g", args.gru4rec_model,
+        "-ps", f"{args.fixed_parameters},{optimized_param_str}" if args.fixed_parameters else optimized_param_str,
+        "-m", *[str(m) for m in (measure if isinstance(measure, list) else [measure])],
+        "-pm", args.primary_metric, "-e", args.eval_type,
+        "-ik", args.item_key, "-sk", args.session_key, "-tk", args.time_key,
+    ]
+    if log_pm:
+        cmd.append("-lpm")
+    return cmd
+
+
+def run_once(args, optimized_param_str):
+    """Spawn one isolated trial; scrape PRIMARY METRIC from its stdout."""
+    cmd = generate_command(args, optimized_param_str, args.measure)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True, env=os.environ.copy())
+    val = None
+    for line in proc.stdout:
+        line = line.rstrip()
+        print(line)
+        m = re.match(r"PRIMARY METRIC: (-*\d\.\d+e*-*\d*)", line)
+        if m:
+            val = float(m.group(1))
+    proc.wait()
+    if val is None:
+        raise RuntimeError("trial produced no PRIMARY METRIC line")
+    return val
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Optimize GRU4Rec hyperparameters on a validation set.")
+    parser.add_argument("path", metavar="PATH", type=str)
+    parser.add_argument("test", metavar="TEST_PATH", type=str)
+    parser.add_argument("-g", "--gru4rec_model", type=str, default="gru4rec_tpu")
+    parser.add_argument("-fp", "--fixed_parameters", metavar="PARAM_STRING", type=str, default="")
+    parser.add_argument("-opf", "--optuna_parameter_file", metavar="PATH", type=str, required=True)
+    parser.add_argument("-m", "--measure", metavar="AT", type=int, nargs="?", default=20)
+    parser.add_argument("-nt", "--ntrials", metavar="NT", type=int, nargs="?", default=50)
+    parser.add_argument("-fm", "--final_measure", metavar="AT", type=int, nargs="*", default=[20])
+    parser.add_argument("-pm", "--primary_metric", choices=["recall", "mrr"], default="recall")
+    parser.add_argument("-e", "--eval_type",
+                        choices=["standard", "conservative", "median", "tiebreaking"],
+                        default="standard")
+    parser.add_argument("-ik", "--item_key", type=str, default="ItemId")
+    parser.add_argument("-sk", "--session_key", type=str, default="SessionId")
+    parser.add_argument("-tk", "--time_key", type=str, default="Time")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    par_space = []
+    with open(args.optuna_parameter_file, "rt") as f:
+        print("-" * 80)
+        print("PARAMETER SPACE")
+        for line in f:
+            if line.strip():
+                par = Parameter.fromjson(line)
+                print("\t" + str(par))
+                par_space.append(par)
+        print("-" * 80)
+
+    try:
+        import optuna
+
+        def objective(trial):
+            pstr = ",".join(f"{p.name}={p.suggest_optuna(trial)}" for p in par_space)
+            return run_once(args, pstr)
+
+        study = optuna.create_study(direction="maximize")
+        study.optimize(objective, n_trials=args.ntrials)
+        best_params = study.best_params
+    except ImportError:
+        print("(optuna not installed: using built-in random search)")
+        rng = np.random.RandomState(args.seed)
+        best_val, best_params = -np.inf, None
+        for t in range(args.ntrials):
+            params = {p.name: p.suggest_random(rng) for p in par_space}
+            pstr = ",".join(f"{k}={v}" for k, v in params.items())
+            print(f"--- trial {t + 1}/{args.ntrials}: {pstr}")
+            val = run_once(args, pstr)
+            if val > best_val:
+                best_val, best_params = val, params
+        print(f"Best value: {best_val}")
+
+    print(f"Best parameters: {best_params}")
+    print(f"Running final eval @{args.final_measure}:")
+    pstr = ",".join(f"{k}={v}" for k, v in best_params.items())
+    cmd = generate_command(args, pstr, list(args.final_measure), log_pm=False)
+    subprocess.run(cmd)
+
+
+if __name__ == "__main__":
+    main()

@@ -203,7 +203,7 @@ def evaluate_sessions(pr, test_data, train_data, items=None, cut_off=20,
             prev_sid = sid
         else:
             if items is not None:
-                if np.in1d(iid, items):
+                if np.isin(iid, items):
                     items_to_predict = items
                 else:
                     items_to_predict = np.hstack(([iid], items))

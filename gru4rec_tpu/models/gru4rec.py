@@ -26,6 +26,21 @@ from gru4rec_tpu.ops.sampling import popularity_cdf
 from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
 
 
+def _chunk_schedule(sched, chunk_size):
+    """Pre-split a schedule into zero-padded (chunk, B) step blocks; the last
+    tuple element carries the cumulative real-step count for logging."""
+    chunks = []
+    T = sched.n_steps
+    for t0 in range(0, T, chunk_size):
+        t1 = min(t0 + chunk_size, T)
+        pad = chunk_size - (t1 - t0)
+        sl = lambda a: np.pad(a[t0:t1], ((0, pad), (0, 0)))
+        chunks.append(
+            (sl(sched.in_idx), sl(sched.out_idx), sl(sched.valid), sl(sched.reset), t1)
+        )
+    return chunks
+
+
 class GRU4Rec:
     """TPU-native GRU4Rec session-based recommender."""
 
@@ -101,7 +116,7 @@ class GRU4Rec:
         C = cfg.chunk_size
         epochs = cfg.n_epochs if n_epochs is None else n_epochs
 
-        cached_sched = None
+        cached_chunks = None
         for epoch in range(epochs):
             t0 = time.time()
             state = state._replace(H=tuple(gru.init_hidden(cfg, cfg.batch_size)))
@@ -111,30 +126,24 @@ class GRU4Rec:
                     data_items, offsets, order, cfg.batch_size,
                     require_two_lanes=(cfg.n_sample == 0),
                 )
+                chunks = _chunk_schedule(sched, C)
             else:
                 # deterministic session order => the schedule is identical
-                # every epoch; build once (the reference re-runs its host
-                # loop per epoch, gru4rec.py:587)
-                if cached_sched is None:
-                    cached_sched = build_schedule(
+                # every epoch; build + pre-chunk once (the reference re-runs
+                # its host loop per epoch, gru4rec.py:587)
+                if cached_chunks is None:
+                    sched = build_schedule(
                         data_items, offsets, base_order, cfg.batch_size,
                         require_two_lanes=(cfg.n_sample == 0),
                     )
-                sched = cached_sched
-            T = sched.n_steps
+                    cached_chunks = _chunk_schedule(sched, C)
+                chunks = cached_chunks
+            T = chunks[-1][4] if chunks else 0
             loss_parts, ev_parts = [], []
-            for t0c in range(0, T, C):
-                t1c = min(t0c + C, T)
-                pad = C - (t1c - t0c)
-                sl = lambda a: np.pad(a[t0c:t1c], ((0, pad), (0, 0)))
+            for in_c, out_c, valid_c, reset_c, _ in chunks:
                 state, ls, ec = chunk_fn(
-                    state,
-                    jnp.asarray(sl(sched.in_idx)),
-                    jnp.asarray(sl(sched.out_idx)),
-                    jnp.asarray(sl(sched.valid)),
-                    jnp.asarray(sl(sched.reset)),
-                    cdf,
-                    logp0,
+                    state, jnp.asarray(in_c), jnp.asarray(out_c),
+                    jnp.asarray(valid_c), jnp.asarray(reset_c), cdf, logp0,
                 )
                 loss_parts.append(ls)
                 ev_parts.append(ec)

@@ -1,0 +1,139 @@
+"""CLI end-to-end (train -> save -> eval -> PRIMARY METRIC; load-model path)
+and baseline predictors through the per-event evaluator."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gru4rec_tpu.baselines import BPR, ItemKNN, Pop, RandomPred, SessionPop
+from gru4rec_tpu.eval import evaluate_sessions
+
+
+def markov_df(n_sessions, n_items=20, seed=0):
+    rng = np.random.RandomState(seed)
+    rows, t = [], 0
+    for s in range(n_sessions):
+        i = rng.randint(n_items)
+        for _ in range(rng.randint(2, 7)):
+            rows.append((s, f"it{i}", t))
+            t += 1
+            i = (3 * i + 1) % n_items
+    return pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+
+
+@pytest.fixture(scope="module")
+def tsv_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    train, test = markov_df(120), markov_df(30, seed=9)
+    train_p, test_p = str(d / "train.tsv"), str(d / "test.tsv")
+    train.to_csv(train_p, sep="\t", index=False)
+    test.to_csv(test_p, sep="\t", index=False)
+    return train_p, test_p, str(d / "model.npz")
+
+
+def run_cli(args):
+    return subprocess.run(
+        [sys.executable, "-m", "gru4rec_tpu.cli.run", *args],
+        capture_output=True, text=True, timeout=560,
+        env={
+            **__import__("os").environ,
+            "GRU4REC_TPU_TEST_PLATFORM": "cpu",
+        },
+    )
+
+
+def test_cli_train_eval_save(tsv_files):
+    train_p, test_p, model_p = tsv_files
+    res = run_cli([
+        train_p,
+        "-ps", "loss=cross-entropy,final_act=softmax,layers=24,batch_size=8,"
+               "n_sample=16,n_epochs=2,chunk_size=64,item_pad_multiple=32,"
+               "learning_rate=0.15",
+        "-t", test_p, "-m", "1", "5", "-pm", "recall", "-lpm",
+        "-s", model_p, "-d", "cpu",
+    ])
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "Recall@1:" in res.stdout and "Recall@5:" in res.stdout
+    pm_lines = [l for l in res.stdout.splitlines() if l.startswith("PRIMARY METRIC:")]
+    assert len(pm_lines) == 1
+    assert 0.0 <= float(pm_lines[0].split(":")[1]) <= 1.0
+
+
+def test_cli_load_model(tsv_files):
+    train_p, test_p, model_p = tsv_files
+    res = run_cli([model_p, "-l", "-t", test_p, "-m", "5", "-pm", "mrr", "-lpm",
+                   "-d", "cpu"])
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "PRIMARY METRIC:" in res.stdout
+
+
+def test_cli_requires_exactly_one_mode(tsv_files):
+    train_p, test_p, _ = tsv_files
+    res = run_cli([train_p])
+    assert res.returncode == 1
+    assert "Exactly one" in res.stdout
+
+
+def test_pop_baseline():
+    train = markov_df(100)
+    test = markov_df(20, seed=3)
+    pop = Pop(item_key="ItemId")
+    pop.fit(train)
+    r, m = evaluate_sessions(pop, test, train, cut_off=5)
+    assert 0 <= m <= r <= 1
+
+    p = pop.predict_next(0, "it0", train.ItemId.unique())
+    top_item = train.groupby("ItemId").size().idxmax()
+    assert p.idxmax() == top_item
+
+
+def test_session_pop_prefers_repeated_items():
+    train = markov_df(50)
+    sp = SessionPop()
+    sp.fit(train)
+    items = train.ItemId.unique()
+    sp.predict_next(1, "it5", items)
+    sp.predict_next(1, "it5", items)
+    p = sp.predict_next(1, "it5", items)
+    assert p.idxmax() == "it5"  # seen 3x in this session
+
+
+def test_itemknn_finds_markov_successor():
+    train = markov_df(200)
+    knn = ItemKNN(n_sims=10)
+    knn.fit(train)
+    # successor of it2 is it7 ((3*2+1) % 20); they co-occur in most sessions
+    sims = knn.sims["it2"]
+    assert "it7" in sims.index[:5]
+    r, m = evaluate_sessions(knn, markov_df(20, seed=4), train, cut_off=5)
+    assert r > 0.5  # deterministic chain: knn should do well
+
+
+def test_itemknn_matches_reference_loop_semantics():
+    """The vectorized co-occurrence must equal the reference's event-pair count
+    (baselines.py:261-276), including duplicate occurrences within a session."""
+    train = pd.DataFrame({
+        "SessionId": [0, 0, 0, 1, 1, 2, 2, 2],
+        "ItemId": ["a", "b", "a", "a", "b", "b", "c", "b"],
+        "Time": range(8),
+    })
+    knn = ItemKNN(n_sims=10, lmbd=0.0, alpha=0.5)
+    knn.fit(train)
+    # co(a,b): session0 supp(a)=2*supp(b)=1 ->2; session1 1*1 ->1; total 3
+    # norm = sqrt(supp_a)*sqrt(supp_b) = sqrt(3)*sqrt(4)
+    np.testing.assert_allclose(knn.sims["a"]["b"], 3 / (np.sqrt(3) * np.sqrt(4)))
+    # co(b,c): session2 supp(b)=2, supp(c)=1 -> 2
+    np.testing.assert_allclose(knn.sims["c"]["b"], 2 / (np.sqrt(1) * np.sqrt(4)))
+
+
+def test_bpr_baseline_learns():
+    train = markov_df(150)
+    bpr = BPR(n_factors=16, n_iterations=3, learning_rate=0.05)
+    bpr.fit(train)
+    rnd = RandomPred()
+    r_bpr, _ = evaluate_sessions(bpr, markov_df(20, seed=6), train, cut_off=10)
+    r_rnd, _ = evaluate_sessions(rnd, markov_df(20, seed=6), train, cut_off=10)
+    assert r_bpr > r_rnd
