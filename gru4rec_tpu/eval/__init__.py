@@ -1,3 +1,3 @@
-from gru4rec_tpu.eval.evaluation import evaluate, evaluate_gpu, evaluate_sessions
+from gru4rec_tpu.eval.evaluation import (evaluate, evaluate_gpu, evaluate_sessions, evaluate_sessions_batch)
 
-__all__ = ["evaluate", "evaluate_gpu", "evaluate_sessions"]
+__all__ = ["evaluate", "evaluate_gpu", "evaluate_sessions", "evaluate_sessions_batch"]

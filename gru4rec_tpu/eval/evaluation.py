@@ -180,6 +180,85 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
 evaluate_gpu = evaluate
 
 
+def evaluate_sessions_batch(pr, test_data, items=None, cut_off=20, batch_size=100,
+                            mode="standard", session_key="SessionId",
+                            item_key="ItemId", time_key="Time"):
+    """Legacy batch evaluator driving the stateful ``predict_next_batch``
+    serving path (reference: evaluation.py:149-245 — which is bit-rotted
+    there, using the long-removed DataFrame.ix; modernized here). Slower than
+    ``evaluate`` (host round-trip per step) but exercises the exact serving
+    code path. Single cutoff only, like the reference."""
+    print("Measuring Recall@{} and MRR@{}".format(cut_off, cut_off))
+    test_data = pd.merge(
+        test_data,
+        pd.DataFrame({"ItemIdx": pr.itemidmap.values, item_key: pr.itemidmap.index}),
+        on=item_key, how="inner",
+    )
+    test_data.sort_values([session_key, time_key, item_key], inplace=True)
+    offset_sessions = np.zeros(test_data[session_key].nunique() + 1, dtype=np.int64)
+    offset_sessions[1:] = test_data.groupby(session_key, sort=False).size().cumsum().values
+    if len(offset_sessions) - 1 < batch_size:
+        batch_size = len(offset_sessions) - 1
+    iters = np.arange(batch_size).astype(np.int64)
+    maxiter = iters.max()
+    start = offset_sessions[iters].copy()
+    end = offset_sessions[iters + 1].copy()
+    item_vals = test_data[item_key].values
+    rng = np.random.RandomState(pr.config.seed + 2)
+    n_points, recall, mrr = 0, 0.0, 0.0
+    in_ids = np.zeros(batch_size, dtype=object)
+    while True:
+        valid_mask = iters >= 0
+        if valid_mask.sum() == 0:
+            break
+        start_valid = start[valid_mask]
+        minlen = (end[valid_mask] - start_valid).min()
+        in_ids[valid_mask] = item_vals[start_valid]
+        for i in range(int(minlen) - 1):
+            out_ids = item_vals[start_valid + i + 1]
+            if items is not None:
+                # score the item list plus any targets outside it
+                # (reference: evaluation.py:207-208)
+                uniq_out = np.unique(out_ids)
+                predict_for = np.hstack([items, uniq_out[~np.isin(uniq_out, items)]])
+                preds = pr.predict_next_batch(iters, in_ids, predict_for, batch_size)
+            else:
+                preds = pr.predict_next_batch(iters, in_ids, None, batch_size)
+            preds = preds.fillna(0)
+            in_ids[valid_mask] = out_ids
+            scores = preds.values.T  # (batch, n_scored)
+            if mode == "tiebreaking":
+                scores = scores + 1e-10 * rng.rand(*scores.shape)
+            tgt_pos = preds.index.get_indexer(out_ids)
+            tgt = scores[valid_mask, :][np.arange(int(valid_mask.sum())), tgt_pos]
+            if items is not None:
+                others = scores[valid_mask, :][:, preds.index.get_indexer(items)]
+            else:
+                others = scores[valid_mask, :]
+            if mode == "conservative":
+                ranks = (others >= tgt[:, None]).sum(axis=1)
+            elif mode == "median":
+                ranks = ((others > tgt[:, None]).sum(axis=1)
+                         + 0.5 * ((others == tgt[:, None]).sum(axis=1) - 1) + 1)
+            else:
+                ranks = (others > tgt[:, None]).sum(axis=1) + 1
+            ok = ranks <= cut_off
+            recall += ok.sum()
+            mrr += (1.0 / ranks * ok).sum()
+            n_points += len(ranks)
+        start = start + minlen - 1
+        finished = np.arange(len(iters))[valid_mask & (end - start <= 1)]
+        for idx in finished:
+            maxiter += 1
+            if maxiter >= len(offset_sessions) - 1:
+                iters[idx] = -1
+            else:
+                iters[idx] = maxiter
+                start[idx] = offset_sessions[maxiter]
+                end[idx] = offset_sessions[maxiter + 1]
+    return recall / n_points, mrr / n_points
+
+
 def evaluate_sessions(pr, test_data, train_data, items=None, cut_off=20,
                       session_key="SessionId", item_key="ItemId", time_key="Time",
                       rng=None):

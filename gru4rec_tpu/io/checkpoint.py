@@ -67,6 +67,71 @@ def save_model(model, fname: str, include_optimizer: bool = False) -> None:
     np.savez(fname, **payload)
 
 
+def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
+    """Full training checkpoint: params + optimizer state + hidden state +
+    RNG key + step counter + epoch — everything needed for exact resume.
+    The reference cannot resume mid-training at all (SURVEY.md §5)."""
+    payload = _flatten_params(state.params)
+    opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    for i, leaf in enumerate(opt_leaves):
+        payload[f"opt/{i}"] = np.asarray(leaf)
+    for i, h in enumerate(state.H):
+        payload[f"state/H{i}"] = np.asarray(h)
+    key = state.key
+    payload["state/key_typed"] = np.array(
+        int(jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key))
+    )
+    payload["state/key"] = np.asarray(jax.random.key_data(key))
+    payload["state/step"] = np.asarray(state.step)
+    payload["meta/epoch"] = np.array(epoch)
+    payload["meta/config"] = np.array(json.dumps(model.config.to_dict()))
+    payload["meta/n_items"] = np.array(model.n_items)
+    keys = np.asarray(model.itemidmap.index.values)
+    if keys.dtype.kind not in "iufb":
+        keys = np.asarray(keys, dtype=str)
+    payload["itemidmap/keys"] = keys
+    payload["itemidmap/values"] = model.itemidmap.values
+    np.savez(fname, **payload)
+
+
+def load_train_checkpoint(fname: str, model):
+    """Restore a training checkpoint into `model`; returns (state, epoch)."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from gru4rec_tpu.train.step import init_train_state
+
+    with np.load(fname, allow_pickle=False) as archive:
+        cfg = GRU4RecConfig.from_dict(json.loads(str(archive["meta/config"])))
+        model.config = cfg
+        model.n_items = int(archive["meta/n_items"])
+        model.itemidmap = pd.Series(
+            data=archive["itemidmap/values"], index=archive["itemidmap/keys"],
+            name="ItemIdx",
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, _unflatten_params(archive))
+        # rebuild the optimizer-state structure, then fill with saved leaves
+        template = init_train_state(cfg, model.n_items, jax.random.PRNGKey(0))
+        treedef = jax.tree_util.tree_structure(template.opt_state)
+        n_leaves = treedef.num_leaves
+        opt_leaves = [jnp.asarray(archive[f"opt/{i}"]) for i in range(n_leaves)]
+        opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
+        H = tuple(
+            jnp.asarray(archive[f"state/H{i}"]) for i in range(len(cfg.layers))
+        )
+        key = jnp.asarray(archive["state/key"])
+        if int(archive["state/key_typed"]):
+            key = jax.random.wrap_key_data(key)
+        step = jnp.asarray(archive["state/step"])
+        epoch = int(archive["meta/epoch"])
+        state = template._replace(params=params, opt_state=opt_state, H=H,
+                                  key=key, step=step)
+        model.params = params
+        model._train_state = state
+        model.error_during_train = False
+    return state, epoch
+
+
 def load_model(fname: str, cls):
     """Reconstruct a GRU4Rec model from a checkpoint archive."""
     import pandas as pd

@@ -74,12 +74,25 @@ class GRU4Rec:
 
     # ------------------------------------------------------------------ #
     def fit(self, data: pd.DataFrame, sample_store: int = 10_000_000,
-            store_type: str = "gpu", n_epochs: Optional[int] = None):
+            store_type: str = "gpu", n_epochs: Optional[int] = None,
+            retrain: bool = False, checkpoint_every: int = 0,
+            checkpoint_path: Optional[str] = None, resume: Optional[str] = None,
+            profile_dir: Optional[str] = None):
         """Train the network (reference: gru4rec.py:515-664).
 
         ``sample_store``/``store_type`` are accepted for CLI/API parity but
         the store itself is in-graph on TPU (ops/sampling.py): one
         uniform+searchsorted block per scan chunk, no host involvement.
+
+        Beyond the reference:
+        * ``retrain=True`` continues training an already-fit model on new
+          data, growing the item tables for unseen items (the reference's
+          unused ``extend_weights``, gru4rec.py:261-266).
+        * ``checkpoint_every=k`` + ``checkpoint_path`` saves a full training
+          checkpoint (params + optimizer state + RNG + epoch) every k epochs;
+          ``resume=path`` continues an interrupted run exactly.
+        * ``profile_dir`` captures a ``jax.profiler`` trace of the second
+          epoch (the first is compile-dominated).
         """
         cfg = self.config
         self._predict_fn = None
@@ -87,17 +100,42 @@ class GRU4Rec:
         self.epoch_stats = []  # per-epoch {loss, seconds, steps, events}
         item_key, session_key, time_key = cfg.item_key, cfg.session_key, cfg.time_key
 
-        self.itemidmap = build_itemidmap(data, item_key)
-        self.n_items = len(self.itemidmap)
+        from gru4rec_tpu.utils.logging import get_logger
+
+        logger = get_logger()
+
+        start_epoch = 0
+        resumed_state = None
+        if resume is not None:
+            from gru4rec_tpu.io.checkpoint import load_train_checkpoint
+
+            resumed_state, start_epoch = load_train_checkpoint(resume, self)
+            print(f"Resuming training from {resume} at epoch {start_epoch + 1}")
+            retrain = False
+        if retrain:
+            if self.params is None:
+                raise ValueError("retrain=True requires a previously trained model")
+            new_items = data[item_key].unique()
+            unseen = new_items[~np.isin(new_items, self.itemidmap.index.values)]
+            if len(unseen):
+                print(f"Extending item tables with {len(unseen)} new items")
+                self._extend_items(unseen)
+        elif resume is None:
+            self.itemidmap = build_itemidmap(data, item_key)
+            self.n_items = len(self.itemidmap)
         data = data.copy()
         data["ItemIdx"] = self.itemidmap[data[item_key].values].values
         sort_if_needed(data, [session_key, time_key])
         offsets = compute_offset(data, session_key)
 
         n_pad = gru.pad_items(self.n_items, cfg.item_pad_multiple)
-        pop = data.groupby(item_key).size()[self.itemidmap.index.values].values
+        pop = (
+            data.groupby(item_key).size()
+            .reindex(self.itemidmap.index.values, fill_value=0)
+            .values
+        )
         logp0 = np.zeros((n_pad,), dtype=np.float32)
-        logp0[: self.n_items] = np.log(pop.astype(np.float64))
+        logp0[: self.n_items] = np.log(np.maximum(pop, 1).astype(np.float64))
         logp0 = jnp.asarray(logp0)
         cdf = (
             jnp.asarray(popularity_cdf(pop, cfg.sample_alpha))
@@ -105,8 +143,19 @@ class GRU4Rec:
             else jnp.zeros((1,), jnp.float32)
         )
 
-        key = jax.random.PRNGKey(cfg.seed)
-        state = init_train_state(cfg, self.n_items, key)
+        if resumed_state is not None:
+            state = resumed_state
+        elif retrain:
+            from gru4rec_tpu.train.step import TrainState
+
+            state = TrainState(
+                self.params, self._train_state.opt_state,
+                tuple(gru.init_hidden(cfg, cfg.batch_size)),
+                self._train_state.key, self._train_state.step,
+            )
+        else:
+            key = jax.random.PRNGKey(cfg.seed)
+            state = init_train_state(cfg, self.n_items, key)
         chunk_fn = make_chunk_fn(cfg, self.n_items)
 
         base_order = session_order(data, session_key, time_key, cfg.time_sort,
@@ -117,7 +166,10 @@ class GRU4Rec:
         epochs = cfg.n_epochs if n_epochs is None else n_epochs
 
         cached_chunks = None
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
+            profiling = profile_dir is not None and epoch == start_epoch + 1
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             state = state._replace(H=tuple(gru.init_hidden(cfg, cfg.batch_size)))
             if cfg.train_random_order:
@@ -149,24 +201,113 @@ class GRU4Rec:
                 ev_parts.append(ec)
             total_events = float(jnp.sum(jnp.stack(ev_parts))) if ev_parts else 0.0
             total_loss = float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0
+            if profiling:
+                jax.profiler.stop_trace()
             avgc = total_loss / max(total_events, 1.0)
             if np.isnan(avgc):
                 print(f"Epoch {epoch}: NaN error!")
+                logger.log("nan_abort", epoch=epoch)
                 self.error_during_train = True
                 return self
             dt = time.time() - t0
             self.epoch_stats.append(
                 {"loss": avgc, "seconds": dt, "steps": T, "events": total_events}
             )
+            logger.log("epoch", epoch=epoch + 1, loss=avgc, seconds=dt, steps=T,
+                       events=total_events, mb_per_s=T / dt, e_per_s=total_events / dt)
             print(
                 "Epoch{} --> loss: {:.6f} \t({:.2f}s) \t[{:.2f} mb/s | {:.0f} e/s]".format(
                     epoch + 1, avgc, dt, T / dt, total_events / dt
                 )
             )
+            if checkpoint_every and checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+                from gru4rec_tpu.io.checkpoint import save_train_checkpoint
+
+                self._train_state = state
+                self.params = state.params
+                save_train_checkpoint(self, state, epoch + 1, checkpoint_path)
+                print(f"Checkpoint saved to {checkpoint_path} (epoch {epoch + 1})")
         self._train_state = state
         self.params = state.params
         self.H = state.H
         return self
+
+    # ------------------------------------------------------------------ #
+    def _extend_items(self, unseen_ids) -> None:
+        """Grow all item-dimensioned tables (and their optimizer state) for
+        new items seen at retrain time (reference extend_weights,
+        gru4rec.py:261-266: new rows drawn with Glorot width computed over
+        rows + cols + n_new)."""
+        cfg = self.config
+        n_old = self.n_items
+        n_new = len(unseen_ids)
+        n_total = n_old + n_new
+        rng = np.random.RandomState(cfg.seed + 7)
+        old_pad = gru.pad_items(n_old, cfg.item_pad_multiple)
+        new_pad = gru.pad_items(n_total, cfg.item_pad_multiple)
+
+        def new_rows(n_cols, old_rows):
+            sigma = cfg.sigma if cfg.sigma != 0 else np.sqrt(6.0 / (old_rows + n_cols + n_new))
+            if cfg.init_as_normal:
+                m = rng.randn(n_new, n_cols) * sigma
+            else:
+                m = rng.rand(n_new, n_cols) * sigma * 2 - sigma
+            return m.astype(cfg.param_dtype)
+
+        def extend(table, init_fn):
+            arr = np.asarray(table)
+            body = arr[:n_old]
+            grown = np.concatenate(
+                [body, init_fn(arr.shape[1] if arr.ndim > 1 else None)], axis=0
+            )
+            pad = new_pad - n_total
+            if pad:
+                pad_block = np.zeros((pad,) + grown.shape[1:], dtype=grown.dtype)
+                grown = np.concatenate([grown, pad_block], axis=0)
+            return jnp.asarray(grown)
+
+        params = dict(self.params)
+        mode = gru.input_mode(cfg)
+        zeros_rows = lambda c: (
+            np.zeros((n_new, c), dtype=cfg.param_dtype)
+            if c is not None
+            else np.zeros((n_new,), dtype=cfg.param_dtype)
+        )
+        params["Wy"] = extend(params["Wy"], lambda c: new_rows(c, n_old))
+        params["By"] = extend(params["By"], zeros_rows)
+        if mode == "embedding":
+            params["E"] = extend(params["E"], lambda c: new_rows(c, n_old))
+        if mode == "onehot":
+            params["Wx"] = [extend(params["Wx"][0], lambda c: new_rows(c, n_old))] + list(
+                params["Wx"][1:]
+            )
+        self.params = params
+
+        if self._train_state is not None:
+            opt_state = dict(self._train_state.opt_state)
+            opt_state["sparse"] = {
+                name: jax.tree_util.tree_map(lambda a: extend(a, zeros_rows), st)
+                for name, st in opt_state["sparse"].items()
+            }
+            self._train_state = self._train_state._replace(
+                params=params, opt_state=opt_state
+            )
+        new_map = pd.Series(
+            data=np.arange(n_old, n_total, dtype=np.int64), index=unseen_ids
+        )
+        self.itemidmap = pd.concat([self.itemidmap, new_map])
+        self.n_items = n_total
+
+    # ------------------------------------------------------------------ #
+    def save_checkpoint(self, fname: str) -> None:
+        """Save a full training checkpoint (params + optimizer state + RNG +
+        step) for exact mid-training resume — capability the reference lacks
+        entirely (its pickle stores weights only, gru4rec.py:742-767)."""
+        from gru4rec_tpu.io.checkpoint import save_train_checkpoint
+
+        if self._train_state is None:
+            raise ValueError("no training state to checkpoint")
+        save_train_checkpoint(self, self._train_state, len(self.epoch_stats), fname)
 
     # ------------------------------------------------------------------ #
     def _build_predict_fn(self, subset: bool):
