@@ -77,7 +77,7 @@ class GRU4Rec:
             store_type: str = "gpu", n_epochs: Optional[int] = None,
             retrain: bool = False, checkpoint_every: int = 0,
             checkpoint_path: Optional[str] = None, resume: Optional[str] = None,
-            profile_dir: Optional[str] = None):
+            profile_dir: Optional[str] = None, mesh=None):
         """Train the network (reference: gru4rec.py:515-664).
 
         ``sample_store``/``store_type`` are accepted for CLI/API parity but
@@ -93,6 +93,10 @@ class GRU4Rec:
           ``resume=path`` continues an interrupted run exactly.
         * ``profile_dir`` captures a ``jax.profiler`` trace of the second
           epoch (the first is compile-dominated).
+        * ``mesh`` (a ``jax.sharding.Mesh`` with axes ``data``/``model``,
+          see parallel/mesh.py) trains multi-chip: lanes data-parallel, item
+          tables row-sharded. Parameters are gathered back to host at the
+          end so evaluation/serving work unchanged.
         """
         cfg = self.config
         self._predict_fn = None
@@ -156,7 +160,31 @@ class GRU4Rec:
         else:
             key = jax.random.PRNGKey(cfg.seed)
             state = init_train_state(cfg, self.n_items, key)
-        chunk_fn = make_chunk_fn(cfg, self.n_items)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gru4rec_tpu.parallel.dist_step import (
+                make_dist_chunk_fn, shard_train_state)
+
+            state = shard_train_state(state, cfg, mesh)
+            dist_fn = make_dist_chunk_fn(cfg, self.n_items, mesh)
+            sched_shard = NamedSharding(mesh, P(None, "data"))
+            repl = NamedSharding(mesh, P(None))
+
+            def chunk_fn(state, in_c, out_c, valid_c, reset_c, cdf, logp0):
+                out = dist_fn(
+                    state.params, state.opt_state, state.H, state.key, state.step,
+                    jax.device_put(in_c, sched_shard),
+                    jax.device_put(out_c, sched_shard),
+                    jax.device_put(valid_c, sched_shard),
+                    jax.device_put(reset_c, sched_shard),
+                    jax.device_put(cdf, repl), jax.device_put(logp0, repl),
+                )
+                from gru4rec_tpu.train.step import TrainState
+
+                return TrainState(*out[:5]), out[5], out[6]
+        else:
+            chunk_fn = make_chunk_fn(cfg, self.n_items)
 
         base_order = session_order(data, session_key, time_key, cfg.time_sort,
                                    len(offsets) - 1)
@@ -227,6 +255,16 @@ class GRU4Rec:
                 self.params = state.params
                 save_train_checkpoint(self, state, epoch + 1, checkpoint_path)
                 print(f"Checkpoint saved to {checkpoint_path} (epoch {epoch + 1})")
+        if mesh is not None:
+            # gather sharded params back to host-local arrays so the
+            # single-device eval/serving paths work unchanged (key left as-is)
+            gather = lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x)), t
+            )
+            state = state._replace(
+                params=gather(state.params), opt_state=gather(state.opt_state),
+                H=gather(state.H), step=jnp.asarray(np.asarray(state.step)),
+            )
         self._train_state = state
         self.params = state.params
         self.H = state.H

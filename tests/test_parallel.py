@@ -102,3 +102,41 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_fit_with_mesh_end_to_end():
+    """User-facing fit(mesh=...) must train and evaluate like single-device."""
+    import pandas as pd
+
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+    from gru4rec_tpu.eval import evaluate
+
+    rng = np.random.RandomState(0)
+    rows, t = [], 0
+    for s in range(150):
+        i = rng.randint(24)
+        for _ in range(rng.randint(3, 7)):
+            rows.append((s, f"it{i}", t)); t += 1; i = (7 * i + 3) % 24
+    data = pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+
+    def cfg():
+        return GRU4RecConfig(loss="cross-entropy", final_act="softmax",
+                             layers=[16], batch_size=8, n_sample=8, n_epochs=3,
+                             chunk_size=32, item_pad_multiple=32,
+                             learning_rate=0.1)
+
+    mesh = make_mesh(2, 4)
+    m_dist = GRU4Rec(cfg())
+    m_dist.fit(data, mesh=mesh)
+    m_single = GRU4Rec(cfg())
+    m_single.fit(data)
+
+    # identical RNG for negatives + no dropout => identical loss trajectories
+    l_d = [e["loss"] for e in m_dist.epoch_stats]
+    l_s = [e["loss"] for e in m_single.epoch_stats]
+    np.testing.assert_allclose(l_d, l_s, rtol=1e-3)
+
+    rec_d, _ = evaluate(m_dist, data, cut_off=[1], batch_size=8)
+    rec_s, _ = evaluate(m_single, data, cut_off=[1], batch_size=8)
+    np.testing.assert_allclose(rec_d, rec_s, atol=0.02)
+    assert rec_d[0] > 0.8
