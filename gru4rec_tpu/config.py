@@ -64,6 +64,7 @@ class GRU4RecConfig:
     param_dtype: str = "float32"  # parameter dtype
     compute_dtype: str = "float32"  # activation/matmul dtype ("bfloat16" for speed)
     item_pad_multiple: int = 128  # pad item tables to a multiple of this many rows (MXU tiling)
+    sampler: str = "alias"        # negative sampler: "alias" (O(1)/sample) or "searchsorted" (reference scheme)
 
     def __post_init__(self) -> None:
         self.validate()

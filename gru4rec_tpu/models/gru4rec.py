@@ -22,7 +22,7 @@ from gru4rec_tpu.data.loader import build_itemidmap
 from gru4rec_tpu.data.scheduler import build_schedule, session_order
 from gru4rec_tpu.data.tools import compute_offset, sort_if_needed
 from gru4rec_tpu.models import gru
-from gru4rec_tpu.ops.sampling import popularity_cdf
+from gru4rec_tpu.ops.sampling import build_alias_table, popularity_cdf
 from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
 
 
@@ -141,11 +141,15 @@ class GRU4Rec:
         logp0 = np.zeros((n_pad,), dtype=np.float32)
         logp0[: self.n_items] = np.log(np.maximum(pop, 1).astype(np.float64))
         logp0 = jnp.asarray(logp0)
-        cdf = (
-            jnp.asarray(popularity_cdf(pop, cfg.sample_alpha))
-            if cfg.n_sample
-            else jnp.zeros((1,), jnp.float32)
-        )
+        if cfg.n_sample and cfg.sample_alpha != 0 and cfg.sampler == "alias":
+            tbl = build_alias_table(pop, cfg.sample_alpha)
+            samp1, samp2 = tbl.prob, tbl.alias
+        elif cfg.n_sample and cfg.sample_alpha != 0:
+            samp1 = jnp.asarray(popularity_cdf(pop, cfg.sample_alpha))
+            samp2 = jnp.zeros((1,), jnp.int32)
+        else:
+            samp1 = jnp.zeros((1,), jnp.float32)
+            samp2 = jnp.zeros((1,), jnp.int32)
 
         if resumed_state is not None:
             state = resumed_state
@@ -171,14 +175,15 @@ class GRU4Rec:
             sched_shard = NamedSharding(mesh, P(None, "data"))
             repl = NamedSharding(mesh, P(None))
 
-            def chunk_fn(state, in_c, out_c, valid_c, reset_c, cdf, logp0):
+            def chunk_fn(state, in_c, out_c, valid_c, reset_c, samp1, samp2, logp0):
                 out = dist_fn(
                     state.params, state.opt_state, state.H, state.key, state.step,
                     jax.device_put(in_c, sched_shard),
                     jax.device_put(out_c, sched_shard),
                     jax.device_put(valid_c, sched_shard),
                     jax.device_put(reset_c, sched_shard),
-                    jax.device_put(cdf, repl), jax.device_put(logp0, repl),
+                    jax.device_put(samp1, repl), jax.device_put(samp2, repl),
+                    jax.device_put(logp0, repl),
                 )
                 from gru4rec_tpu.train.step import TrainState
 
@@ -223,7 +228,7 @@ class GRU4Rec:
             for in_c, out_c, valid_c, reset_c, _ in chunks:
                 state, ls, ec = chunk_fn(
                     state, jnp.asarray(in_c), jnp.asarray(out_c),
-                    jnp.asarray(valid_c), jnp.asarray(reset_c), cdf, logp0,
+                    jnp.asarray(valid_c), jnp.asarray(reset_c), samp1, samp2, logp0,
                 )
                 loss_parts.append(ls)
                 ev_parts.append(ec)

@@ -2,13 +2,18 @@
 
 The reference keeps a device-resident sample store refilled by a dedicated
 compiled function (uniform draws + a custom CUDA binary-search kernel,
-gru4rec.py:542-566, custom_theano_ops.py:275-407). On TPU the equivalent is
-simply in-graph ``jax.random.uniform`` + ``jnp.searchsorted`` (XLA-native,
-vectorized) executed once per scan chunk — the store and its cursor become
-data flowing through the step scan, with no host involvement at all.
+gru4rec.py:542-566, custom_theano_ops.py:275-407). The first TPU equivalent
+— in-graph ``jnp.searchsorted`` — turned out to dominate the step time (XLA
+lowers it to a 16-iteration gather loop over the whole query block), so the
+default sampler here is the **alias method** (Walker/Vose): O(1) per sample
+— one table gather, one compare, one select — drawing from *exactly* the
+same pop^alpha distribution. The searchsorted path is kept as a fallback and
+as the differential-test oracle (``sampler='searchsorted'``).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,9 +28,48 @@ def popularity_cdf(pop_counts: np.ndarray, sample_alpha: float) -> np.ndarray:
     return cdf.astype(np.float32)
 
 
+class AliasTable(NamedTuple):
+    """Vose alias tables for O(1) categorical sampling."""
+
+    prob: jnp.ndarray   # (n,) float32: acceptance probability of the home slot
+    alias: jnp.ndarray  # (n,) int32: alternative item per slot
+
+
+def build_alias_table(pop_counts: np.ndarray, sample_alpha: float) -> AliasTable:
+    """Vose's O(n) alias-table construction for the pop^alpha distribution."""
+    w = pop_counts.astype(np.float64) ** sample_alpha
+    n = len(w)
+    p = w * (n / w.sum())
+    prob = np.ones(n, dtype=np.float64)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    # leftovers are 1.0 due to float error
+    return AliasTable(jnp.asarray(prob.astype(np.float32)), jnp.asarray(alias))
+
+
+def sample_negatives_alias(key, table: AliasTable, n_steps: int, n_sample: int):
+    """Draw a (n_steps, n_sample) block via the alias method (one gather)."""
+    n = table.prob.shape[0]
+    k1, k2 = jax.random.split(key)
+    slot = jax.random.randint(k1, (n_steps * n_sample,), 0, n, dtype=jnp.int32)
+    u = jax.random.uniform(k2, (n_steps * n_sample,), dtype=jnp.float32)
+    accept = u < jnp.take(table.prob, slot)
+    idx = jnp.where(accept, slot, jnp.take(table.alias, slot))
+    return idx.reshape(n_steps, n_sample)
+
+
 def sample_negatives(key, cdf, n_steps: int, n_sample: int, n_items: int,
                      sample_alpha: float):
-    """Draw a (n_steps, n_sample) block of negative item ids on device.
+    """Inverse-CDF sampling via searchsorted (the reference's scheme,
+    gru4rec.py:555-566). Kept as the oracle/fallback; slow on TPU.
 
     ``sample_alpha == 0`` degenerates to uniform sampling, matching the
     reference's fast path (gru4rec.py:507-511).

@@ -31,7 +31,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.models import gru
 from gru4rec_tpu.ops.losses import get_loss
-from gru4rec_tpu.ops.sampling import sample_negatives
+from gru4rec_tpu.ops.sampling import (AliasTable, sample_negatives,
+                                       sample_negatives_alias)
 from gru4rec_tpu.parallel.mesh import param_pspecs, state_pspecs
 from gru4rec_tpu.train.optimizers import make_optimizer
 from gru4rec_tpu.train.step import SENTINEL, init_train_state, merge_dense, split_params
@@ -70,7 +71,7 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
     B_local = B // nd
 
     def chunk_body(params, opt_state, H, key, step, in_c, out_c, valid_c, reset_c,
-                   cdf, logp0):
+                   samp1, samp2, logp0):
         rows_local = params["Wy"].shape[0]  # n_pad // nm
         mi = jax.lax.axis_index("model")
         di = jax.lax.axis_index("data")
@@ -89,10 +90,17 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
 
         chunk = in_c.shape[0]
         if n_sample > 0:
-            neg = sample_negatives(
-                jax.random.fold_in(jax.random.fold_in(key, 1), step),
-                cdf, chunk, n_sample, n_items, cfg.sample_alpha,
-            )  # identical on every device: replicated key
+            # identical on every device: replicated key
+            neg_key = jax.random.fold_in(jax.random.fold_in(key, 1), step)
+            if cfg.sample_alpha == 0.0:
+                neg = jax.random.randint(neg_key, (chunk, n_sample), 0, n_items,
+                                         dtype=jnp.int32)
+            elif cfg.sampler == "alias":
+                neg = sample_negatives_alias(
+                    neg_key, AliasTable(samp1, samp2), chunk, n_sample)
+            else:
+                neg = sample_negatives(neg_key, samp1, chunk, n_sample, n_items,
+                                       cfg.sample_alpha)
         else:
             neg = jnp.zeros((chunk, 0), jnp.int32)
 
@@ -255,7 +263,7 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
     sched_spec = P(None, "data")
     in_specs = (
         pspec, sspec, h_spec, P(), P(),
-        sched_spec, sched_spec, sched_spec, sched_spec, P(None), P(None),
+        sched_spec, sched_spec, sched_spec, sched_spec, P(None), P(None), P(None),
     )
     out_specs = (pspec, sspec, h_spec, P(), P(), P(), P())
     del dummy

@@ -26,7 +26,8 @@ import numpy as np
 from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.models import gru
 from gru4rec_tpu.ops.losses import get_loss
-from gru4rec_tpu.ops.sampling import sample_negatives
+from gru4rec_tpu.ops.sampling import (AliasTable, sample_negatives,
+                                       sample_negatives_alias)
 from gru4rec_tpu.train.optimizers import make_optimizer
 
 SENTINEL = np.iinfo(np.int32).max
@@ -107,13 +108,20 @@ def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
     n_sample = cfg.n_sample
     use_logq = bool(cfg.logq)
 
-    def chunk_fn(state: TrainState, in_c, out_c, valid_c, reset_c, cdf, logp0):
+    def chunk_fn(state: TrainState, in_c, out_c, valid_c, reset_c, samp1, samp2,
+                 logp0):
         chunk = in_c.shape[0]
         if n_sample > 0:
-            neg = sample_negatives(
-                jax.random.fold_in(jax.random.fold_in(state.key, 1), state.step),
-                cdf, chunk, n_sample, n_items, cfg.sample_alpha,
-            )
+            neg_key = jax.random.fold_in(jax.random.fold_in(state.key, 1), state.step)
+            if cfg.sample_alpha == 0.0:
+                neg = jax.random.randint(neg_key, (chunk, n_sample), 0, n_items,
+                                         dtype=jnp.int32)
+            elif cfg.sampler == "alias":
+                neg = sample_negatives_alias(
+                    neg_key, AliasTable(samp1, samp2), chunk, n_sample)
+            else:
+                neg = sample_negatives(neg_key, samp1, chunk, n_sample, n_items,
+                                       cfg.sample_alpha)
         else:
             neg = jnp.zeros((chunk, 0), jnp.int32)
 

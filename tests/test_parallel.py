@@ -29,8 +29,9 @@ def _mk_inputs(cfg, n_items, seed=0):
     reset_c[2, :2] = True
     n_pad = ((n_items + cfg.item_pad_multiple - 1) // cfg.item_pad_multiple) * cfg.item_pad_multiple
     cdf = np.linspace(0.01, 1.0, n_items, dtype=np.float32)
+    samp2 = np.zeros((1,), np.int32)
     logp0 = np.abs(rng.randn(n_pad)).astype(np.float32) + 0.1
-    return in_c, out_c, valid_c, reset_c, cdf, logp0
+    return in_c, out_c, valid_c, reset_c, cdf, samp2, logp0
 
 
 @pytest.mark.parametrize("mode_kwargs", [
@@ -45,7 +46,8 @@ def test_dist_matches_single_device(mode_kwargs, loss):
         loss=loss, final_act="softmax" if loss == "cross-entropy" else "elu-1",
         layers=[16], batch_size=8, n_sample=12, chunk_size=5,
         item_pad_multiple=32, learning_rate=0.1, momentum=0.2, logq=1.0,
-        dropout_p_hidden=0.0, dropout_p_embed=0.0, **mode_kwargs,
+        dropout_p_hidden=0.0, dropout_p_embed=0.0, sampler="searchsorted",
+        **mode_kwargs,
     )
     inputs = _mk_inputs(cfg, n_items)
     args = tuple(jnp.asarray(a) for a in inputs)
@@ -54,14 +56,14 @@ def test_dist_matches_single_device(mode_kwargs, loss):
     # PRNGKey per state)
     s1 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
     f1 = make_chunk_fn(cfg, n_items)
-    s1, loss1, ev1 = f1(s1, *args[:4], args[4], args[5])
+    s1, loss1, ev1 = f1(s1, *args[:4], args[4], args[5], args[6])
 
     # 2 data x 4 model mesh
     mesh = make_mesh(2, 4)
     s2 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
     s2 = shard_train_state(s2, cfg, mesh)
     f2 = make_dist_chunk_fn(cfg, n_items, mesh)
-    out = f2(s2.params, s2.opt_state, s2.H, s2.key, s2.step, *args[:4], args[4], args[5])
+    out = f2(s2.params, s2.opt_state, s2.H, s2.key, s2.step, *args[:4], args[4], args[5], args[6])
     params2, _, H2, _, _, loss2, ev2 = out
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
