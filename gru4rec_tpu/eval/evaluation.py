@@ -62,7 +62,6 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                 # score only the target + the item list (evaluation.py:104-105)
                 Y = jnp.concatenate([jnp.where(valid, out_idx, 0), item_idx])
                 srows["Wy"] = jnp.take(params["Wy"], Y, axis=0)
-                srows["By"] = jnp.take(params["By"], Y, axis=0)
                 H_new, yhat = gru.forward(
                     params, srows, list(H), cfg, M=batch_size, training=False,
                     col_valid=None, full_catalog=False,

@@ -24,8 +24,9 @@ def _flatten_params(params) -> dict:
     for group in ("Wx", "Wh", "Wrz", "Bh"):
         for i, arr in enumerate(params[group]):
             flat[f"param/{group}{i}"] = np.asarray(arr)
-    flat["param/Wy"] = np.asarray(params["Wy"])
-    flat["param/By"] = np.asarray(params["By"])
+    wyb = np.asarray(params["Wy"])  # bias folded as last column
+    flat["param/Wy"] = wyb[:, :-1]
+    flat["param/By"] = wyb[:, -1]
     if "E" in params:
         flat["param/E"] = np.asarray(params["E"])
     return flat
@@ -37,8 +38,9 @@ def _unflatten_params(archive) -> dict:
     for i in range(n_layers):
         for group in ("Wx", "Wh", "Wrz", "Bh"):
             params[group].append(archive[f"param/{group}{i}"])
-    params["Wy"] = archive["param/Wy"]
-    params["By"] = archive["param/By"]
+    params["Wy"] = np.concatenate(
+        [archive["param/Wy"], archive["param/By"][:, None]], axis=1
+    )
     if "param/E" in archive.files:
         params["E"] = archive["param/E"]
     return params

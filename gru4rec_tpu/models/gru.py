@@ -16,7 +16,16 @@ gru4rec.py:433-506 model) for XLA:
 Parameter layout matches the reference for checkpoint compatibility thinking:
 ``Wx[i]`` is (in, 3h) with column blocks [h | r | z] (gru4rec.py:281-284),
 ``Wrz[i]`` is (h, 2h) with blocks [r | z] (gru4rec.py:286-289), ``Bh[i]`` is
-(3h,), ``Wy`` is (n_items, h), ``By`` is (n_items,).
+(3h,).
+
+One deliberate layout change: the output bias ``By`` (reference: (n_items, 1),
+gru4rec.py:293) is stored as the LAST COLUMN of ``Wy`` — params['Wy'] is
+(n_items, h+1) with scoring ``y @ Wy[:, :h].T + Wy[:, h]``. Wy and By always
+share gather/scatter index sets in the sampled-softmax path, so folding them
+halves the number of per-step sparse-update passes with per-element-identical
+optimizer math (the only divergence: in constrained mode the bias column of
+rows touched *only as inputs* sees momentum/L2 state updates with zero
+gradient). Checkpoints still store Wy and By separately (io/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -89,8 +98,10 @@ def init_params(cfg: GRU4RecConfig, n_items: int) -> Dict:
         m2 = [init_matrix((layers[i], layers[i])) for _ in range(2)]
         params["Wrz"].append(np.hstack(m2))
         params["Bh"].append(np.zeros((layers[i] * 3,), dtype=dtype))
-    params["Wy"] = init_matrix((n_items, layers[-1]), pad_rows=n_pad - n_items)
-    params["By"] = np.zeros((n_pad,), dtype=dtype)
+    wy = init_matrix((n_items, layers[-1]), pad_rows=n_pad - n_items)
+    # output bias folded in as the last column (zero-initialized, like the
+    # reference's By, gru4rec.py:293)
+    params["Wy"] = np.concatenate([wy, np.zeros((n_pad, 1), dtype=dtype)], axis=1)
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
@@ -136,12 +147,13 @@ def forward(
 ):
     """Single-step forward.
 
-    ``srows`` carries the gathered rows (differentiation targets):
-      one-hot:      {'Wx0': (B, 3h), 'Wy': (N, h), 'By': (N,)}
-      embedding:    {'E': (B, d_e), 'Wy': (N, h), 'By': (N,)}
-      constrained:  {'WyS': (B+N, h), 'By': (N,)}  — single concat gather
-    For ``full_catalog`` scoring (predict/eval), 'Wy'/'By' are the full
-    (padded) tables instead of gathered rows.
+    ``srows`` carries the gathered rows (differentiation targets); Wy rows
+    include the folded bias column (see module docstring):
+      one-hot:      {'Wx0': (B, 3h), 'Wy': (N, h+1)}
+      embedding:    {'E': (B, d_e), 'Wy': (N, h+1)}
+      constrained:  {'WyS': (B+N, h+1)}  — single concat gather
+    For ``full_catalog`` scoring (predict/eval), the full (padded) Wy table
+    is used instead of gathered rows.
 
     Returns (H_new list, yhat (B, N) or (B, n_items_pad)).
     """
@@ -158,7 +170,7 @@ def forward(
     H_new = []
     if mode == "constrained":
         S = srows["WyS"]
-        Sx = S[:M] if not full_catalog else S
+        Sx = (S[:M] if not full_catalog else S)[:, :-1]  # strip the bias column
         y = _dropout(Sx, cfg.dropout_p_embed, keys[0]) if training else Sx
         start = 0
     elif mode == "embedding":
@@ -183,15 +195,13 @@ def forward(
 
     # --- scoring ---
     if full_catalog:
-        Sy = params["Wy"]
-        SBy = params["By"]
+        Syb = params["Wy"]
     else:
         # At predict time the constrained mode re-gathers Wy[Y] explicitly
         # (reference: gru4rec.py:481-485); during training it reuses the
         # concatenated gather's tail.
-        Sy = srows["Wy"] if "Wy" in srows else srows["WyS"][M:]
-        SBy = srows["By"]
-    scores = jnp.dot(y, Sy.T, preferred_element_type=y.dtype) + SBy
+        Syb = srows["Wy"] if "Wy" in srows else srows["WyS"][M:]
+    scores = jnp.dot(y, Syb[:, :-1].T, preferred_element_type=y.dtype) + Syb[:, -1]
 
     fact = get_activation(final_act_name)
     if not training and final_act_name == "softmax_logit":

@@ -316,8 +316,14 @@ class GRU4Rec:
             if c is not None
             else np.zeros((n_new,), dtype=cfg.param_dtype)
         )
-        params["Wy"] = extend(params["Wy"], lambda c: new_rows(c, n_old))
-        params["By"] = extend(params["By"], zeros_rows)
+        # Wy carries the folded bias column: new rows = [glorot(d) | 0]
+        params["Wy"] = extend(
+            params["Wy"],
+            lambda c: np.concatenate(
+                [new_rows(c - 1, n_old), np.zeros((n_new, 1), dtype=cfg.param_dtype)],
+                axis=1,
+            ),
+        )
         if mode == "embedding":
             params["E"] = extend(params["E"], lambda c: new_rows(c, n_old))
         if mode == "onehot":
@@ -369,7 +375,6 @@ class GRU4Rec:
                 srows = {"Wx0": jnp.take(params["Wx"][0], in_idx, axis=0)}
             if subset:
                 srows["Wy"] = jnp.take(params["Wy"], item_idx, axis=0)
-                srows["By"] = jnp.take(params["By"], item_idx, axis=0)
                 H_new, yhat = gru.forward(
                     params, srows, list(H), cfg, M=in_idx.shape[0], training=False,
                     full_catalog=False,

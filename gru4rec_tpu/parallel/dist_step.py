@@ -136,20 +136,17 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
                 srows = {
                     "Wx0": gather_rows(params["Wx"][0], Xg),
                     "Wy": gather_rows(params["Wy"], Y),
-                    "By": gather_rows(params["By"], Y),
                 }
             elif mode == "embedding":
                 srows = {
                     "E": gather_rows(params["E"], Xg),
                     "Wy": gather_rows(params["Wy"], Y),
-                    "By": gather_rows(params["By"], Y),
                 }
             else:  # constrained
                 srows = {
                     "WyS": jnp.concatenate(
                         [gather_rows(params["Wy"], Xg), gather_rows(params["Wy"], Y)]
                     ),
-                    "By": gather_rows(params["By"], Y),
                 }
 
             logq_corr = None
@@ -192,14 +189,12 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
                     jnp.concatenate([X_all, Y_scatter]),
                     jnp.concatenate([gX, gY]),
                 )
-                scatter["By"] = (Y_scatter, jax.lax.psum(g_srows["By"], "data"))
             else:
                 xname = "Wx0" if mode == "onehot" else "E"
                 gX = jax.lax.all_gather(g_srows[xname], "data", tiled=True)
                 X_all = jax.lax.all_gather(X_scatter, "data", tiled=True)
                 scatter[xname] = (X_all, gX)
                 scatter["Wy"] = (Y_scatter, jax.lax.psum(g_srows["Wy"], "data"))
-                scatter["By"] = (Y_scatter, jax.lax.psum(g_srows["By"], "data"))
 
             sparse_flat = [g for _, g in scatter.values()]
             g_dense, sparse_flat = opt.clip_by_global_norm(g_dense, sparse_flat)

@@ -56,7 +56,6 @@ def param_pspecs(params: dict, mode: str) -> dict:
         "Wrz": [P(None, None)] * len(params["Wrz"]),
         "Bh": [P(None)] * len(params["Bh"]),
         "Wy": P("model", None),
-        "By": P("model"),
     }
     if "E" in params:
         specs["E"] = P("model", None)

@@ -67,11 +67,11 @@ def split_params(params: Dict, mode: str):
         "Bh": tuple(params["Bh"]),
     }
     if mode == "onehot":
-        sparse_names = ("Wx0", "Wy", "By")
+        sparse_names = ("Wx0", "Wy")
     elif mode == "embedding":
-        sparse_names = ("E", "Wy", "By")
+        sparse_names = ("E", "Wy")
     else:
-        sparse_names = ("Wy", "By")
+        sparse_names = ("Wy",)
     return dense, sparse_names
 
 
@@ -156,24 +156,21 @@ def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
                 srows = {
                     "Wx0": jnp.take(params["Wx"][0], Xg, axis=0),
                     "Wy": jnp.take(params["Wy"], Y, axis=0),
-                    "By": jnp.take(params["By"], Y, axis=0),
                 }
-                scatter_idx = {"Wx0": X_scatter, "Wy": Y_scatter, "By": Y_scatter}
+                scatter_idx = {"Wx0": X_scatter, "Wy": Y_scatter}
             elif mode == "embedding":
                 srows = {
                     "E": jnp.take(params["E"], Xg, axis=0),
                     "Wy": jnp.take(params["Wy"], Y, axis=0),
-                    "By": jnp.take(params["By"], Y, axis=0),
                 }
-                scatter_idx = {"E": X_scatter, "Wy": Y_scatter, "By": Y_scatter}
+                scatter_idx = {"E": X_scatter, "Wy": Y_scatter}
             else:  # constrained: single concatenated gather (gru4rec.py:438-448)
                 XY = jnp.concatenate([Xg, Y])
                 XY_scatter = jnp.concatenate([X_scatter, Y_scatter])
                 srows = {
                     "WyS": jnp.take(params["Wy"], XY, axis=0),
-                    "By": jnp.take(params["By"], Y, axis=0),
                 }
-                scatter_idx = {"WyS": XY_scatter, "By": Y_scatter}
+                scatter_idx = {"WyS": XY_scatter}
 
             logq_corr = None
             if use_logq:

@@ -25,6 +25,10 @@ def oracle_forward(params, H, X, Y, cfg, n_items, logq_pop=None, neg=None):
     """Reference-math forward (no dropout, all lanes valid)."""
     p = {k: (list(map(np.asarray, v)) if isinstance(v, (list, tuple)) else np.asarray(v))
          for k, v in params.items()}
+    # the framework folds By into Wy's last column; the oracle keeps the
+    # reference's separate layout
+    p["By"] = p["Wy"][:, -1]
+    p["Wy"] = p["Wy"][:, :-1]
     layers = cfg.layers
     B = len(X)
     Yfull = np.concatenate([Y, neg]) if neg is not None else Y
@@ -102,19 +106,16 @@ def test_forward_matches_oracle(mode_kwargs, n_layers):
     if cfg.constrained_embedding:
         srows = {
             "WyS": jnp.asarray(np.asarray(params["Wy"])[np.concatenate([X, Yfull])]),
-            "By": jnp.asarray(np.asarray(params["By"])[Yfull]),
         }
     elif cfg.embedding:
         srows = {
             "E": jnp.asarray(np.asarray(params["E"])[X]),
             "Wy": jnp.asarray(np.asarray(params["Wy"])[Yfull]),
-            "By": jnp.asarray(np.asarray(params["By"])[Yfull]),
         }
     else:
         srows = {
             "Wx0": jnp.asarray(np.asarray(params["Wx"][0])[X]),
             "Wy": jnp.asarray(np.asarray(params["Wy"])[Yfull]),
-            "By": jnp.asarray(np.asarray(params["By"])[Yfull]),
         }
     H_new, yhat = gru.forward(
         params, srows, [jnp.asarray(h) for h in H], cfg, M=B, training=False,
@@ -138,7 +139,6 @@ def test_forward_softmax_final_act():
     srows = {
         "Wx0": jnp.asarray(np.asarray(params["Wx"][0])[X]),
         "Wy": jnp.asarray(np.asarray(params["Wy"])[Yfull]),
-        "By": jnp.asarray(np.asarray(params["By"])[Yfull]),
     }
     H = [jnp.zeros((4, 8))]
     _, yhat = gru.forward(params, srows, H, cfg, M=4, training=False)
