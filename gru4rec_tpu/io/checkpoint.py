@@ -19,16 +19,21 @@ import numpy as np
 from gru4rec_tpu.config import GRU4RecConfig
 
 
+def _squeeze3(a):
+    a = np.asarray(a)
+    return a[:, 0, :] if a.ndim == 3 else a
+
+
 def _flatten_params(params) -> dict:
     flat = {}
     for group in ("Wx", "Wh", "Wrz", "Bh"):
         for i, arr in enumerate(params[group]):
-            flat[f"param/{group}{i}"] = np.asarray(arr)
-    wyb = np.asarray(params["Wy"])  # bias folded as last column
+            flat[f"param/{group}{i}"] = _squeeze3(arr)
+    wyb = _squeeze3(params["Wy"])  # bias folded as last column
     flat["param/Wy"] = wyb[:, :-1]
     flat["param/By"] = wyb[:, -1]
     if "E" in params:
-        flat["param/E"] = np.asarray(params["E"])
+        flat["param/E"] = _squeeze3(params["E"])
     return flat
 
 
@@ -76,7 +81,7 @@ def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
     payload = _flatten_params(state.params)
     opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
     for i, leaf in enumerate(opt_leaves):
-        payload[f"opt/{i}"] = np.asarray(leaf)
+        payload[f"opt/{i}"] = _squeeze3(leaf)
     for i, h in enumerate(state.H):
         payload[f"state/H{i}"] = np.asarray(h)
     key = state.key

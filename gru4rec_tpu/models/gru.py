@@ -49,7 +49,11 @@ def input_mode(cfg: GRU4RecConfig) -> str:
 
 
 def pad_items(n_items: int, multiple: int) -> int:
-    return ((n_items + multiple - 1) // multiple) * multiple
+    """Smallest multiple of ``multiple`` that is STRICTLY greater than
+    n_items: at least one padding row always exists, so the sparse-update
+    kernels can use the last row as a write-through target for sentinel
+    (dropped) indices without ever aliasing a real item row."""
+    return ((n_items + multiple) // multiple) * multiple
 
 
 def init_params(cfg: GRU4RecConfig, n_items: int) -> Dict:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from gru4rec_tpu.config import GRU4RecConfig
 
 EPSILON = 1e-6
+_FORCE_PALLAS = None  # test hook: None = auto, True/False = override
 
 
 def dedup_rows(idx, g):
@@ -180,9 +181,39 @@ class Optimizer:
             return p + vel, st
         return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
 
+    def _use_fused_kernel(self, table) -> bool:
+        if self.adapt != "adagrad" or table.ndim not in (2, 3):
+            return False
+        if _FORCE_PALLAS is not None:
+            return _FORCE_PALLAS
+        from gru4rec_tpu.ops.kernels.sparse_update import (PALLAS_MIN_ROWS,
+                                                           _kernels_available)
+
+        return table.shape[0] >= PALLAS_MIN_ROWS and _kernels_available()
+
     def apply_sparse(self, table, idx, g, st):
-        """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``."""
+        """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``.
+
+        Large tables may arrive in (n, 1, d) layout (see train/step.py
+        promote_tables): row gradients are lifted to match."""
+        if table.ndim == 3 and g.ndim == 2:
+            g = g[:, None, :]
         uidx, g = dedup_rows(idx, g)
+        if self._use_fused_kernel(table):
+            import jax
+
+            from gru4rec_tpu.ops.kernels.sparse_update import fused_adagrad_update
+
+            interpret = jax.default_backend() != "tpu"
+            table, acc, vel = fused_adagrad_update(
+                table, st["acc"], st.get("velocity"), uidx, g,
+                lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
+                interpret=interpret,
+            )
+            st = {**st, "acc": acc}
+            if vel is not None:
+                st["velocity"] = vel
+            return table, st
         g, st = self._adapt_sparse(uidx, g, st)
         if self.lmbd > 0:
             rows = _take_rows(table, uidx)

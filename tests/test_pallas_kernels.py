@@ -1,0 +1,82 @@
+"""Differential tests for the Pallas fused sparse-update kernel against the
+XLA scatter path (the reference's custom-op-vs-fallback pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gru4rec_tpu.train.optimizers as optmod
+from gru4rec_tpu.config import GRU4RecConfig
+from gru4rec_tpu.train.optimizers import make_optimizer
+
+
+@pytest.mark.parametrize("momentum", [0.0, 0.4])
+@pytest.mark.parametrize("lmbd", [0.0, 0.01])
+@pytest.mark.parametrize("with_dupes_and_sentinels", [False, True])
+def test_fused_adagrad_matches_xla(momentum, lmbd, with_dupes_and_sentinels, monkeypatch):
+    rng = np.random.RandomState(0)
+    n_rows, d, n_idx = 64, 16, 24
+    cfg = GRU4RecConfig(adapt="adagrad", momentum=momentum, lmbd=lmbd,
+                        learning_rate=0.1)
+    table = rng.randn(n_rows, d).astype(np.float32)
+    if with_dupes_and_sentinels:
+        idx = rng.randint(0, n_rows - 1, n_idx).astype(np.int32)  # last row = padding
+        idx[5] = idx[3]
+        idx[-4:] = np.iinfo(np.int32).max
+    else:
+        idx = rng.choice(n_rows - 1, n_idx, replace=False).astype(np.int32)
+    g = rng.randn(n_idx, d).astype(np.float32) * 0.1
+
+    def run(force):
+        monkeypatch.setattr(optmod, "_FORCE_PALLAS", force)
+        opt = make_optimizer(cfg)
+        st = opt.init_state(jnp.asarray(table))
+        st = {k: v + 0.3 for k, v in st.items()}  # nontrivial state
+        tbl = jnp.asarray(table)
+        for _ in range(3):
+            tbl, st = opt.apply_sparse(tbl, jnp.asarray(idx), jnp.asarray(g), st)
+        return np.asarray(tbl), {k: np.asarray(v) for k, v in st.items()}
+
+    t_xla, st_xla = run(False)
+    t_pal, st_pal = run(True)
+    np.testing.assert_allclose(t_pal, t_xla, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(st_pal["acc"], st_xla["acc"], rtol=1e-5, atol=1e-6)
+    if momentum > 0:
+        np.testing.assert_allclose(st_pal["velocity"], st_xla["velocity"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fit_with_forced_pallas_matches_xla(monkeypatch):
+    """End-to-end: training with the fused kernel (table promotion active)
+    must reproduce the XLA-path parameters."""
+    import pandas as pd
+
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+
+    rng = np.random.RandomState(0)
+    rows, t = [], 0
+    for s in range(60):
+        i = rng.randint(20)
+        for _ in range(rng.randint(3, 6)):
+            rows.append((s, f"it{i}", t)); t += 1; i = (3 * i + 1) % 20
+    data = pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+
+    def cfg():
+        return GRU4RecConfig(loss="bpr-max", final_act="elu-1", layers=[8],
+                             batch_size=4, n_sample=8, n_epochs=2, chunk_size=16,
+                             item_pad_multiple=8, momentum=0.3,
+                             constrained_embedding=True)
+
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS", False)
+    m_xla = GRU4Rec(cfg()); m_xla.fit(data)
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS", True)
+    m_pal = GRU4Rec(cfg()); m_pal.fit(data)
+    assert np.asarray(m_pal.params["Wy"]).ndim == 2  # demoted back after fit
+    np.testing.assert_allclose(
+        np.asarray(m_pal.params["Wy"]), np.asarray(m_xla.params["Wy"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    l1 = [e["loss"] for e in m_xla.epoch_stats]
+    l2 = [e["loss"] for e in m_pal.epoch_stats]
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
