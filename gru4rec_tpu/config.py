@@ -63,6 +63,14 @@ class GRU4RecConfig:
     chunk_size: int = 512         # steps fused into one device call via lax.scan
     param_dtype: str = "float32"  # parameter dtype
     compute_dtype: str = "float32"  # activation/matmul dtype ("bfloat16" for speed)
+    # Storage dtype of the row-sparse optimizer state (adagrad/rmsprop
+    # accumulators, momentum velocity) of the big item tables. The update
+    # math always runs in float32; only the persisted rows are rounded.
+    # bfloat16 halves the per-step HBM bytes of the dominant scatter/gather
+    # ops (~10% step time on v5e) at ~0.4% relative rounding noise on state
+    # that only modulates the adaptive learning rate — far below minibatch
+    # noise. Set to "float32" for bit-exact adagrad bookkeeping.
+    opt_state_dtype: str = "bfloat16"
     item_pad_multiple: int = 128  # pad item tables to a multiple of this many rows (MXU tiling)
     sampler: str = "alias"        # negative sampler: "alias" (O(1)/sample) or "searchsorted" (reference scheme)
 

@@ -143,7 +143,7 @@ class GRU4Rec:
         logp0 = jnp.asarray(logp0)
         if cfg.n_sample and cfg.sample_alpha != 0 and cfg.sampler == "alias":
             tbl = build_alias_table(pop, cfg.sample_alpha)
-            samp1, samp2 = tbl.prob, tbl.alias
+            samp1, samp2 = tbl.packed, jnp.zeros((1,), jnp.int32)
         elif cfg.n_sample and cfg.sample_alpha != 0:
             samp1 = jnp.asarray(popularity_cdf(pop, cfg.sample_alpha))
             samp2 = jnp.zeros((1,), jnp.int32)

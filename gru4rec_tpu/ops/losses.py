@@ -26,10 +26,14 @@ _EPS = 1e-24
 def _diag(yhat, offset=0):
     """Each row's positive score. Under data-parallel sharding the local
     score block's positives sit at column ``row + offset`` (offset =
-    data_shard_index * local_batch)."""
+    data_shard_index * local_batch).
+
+    Mask-reduce instead of gather: the gather's gradient is a row scatter-add
+    (~10us/step on v5e), while the mask's gradient fuses into the surrounding
+    elementwise ops for free."""
     b = yhat.shape[0]
-    idx = jnp.arange(b)
-    return yhat[idx, idx + offset]
+    mask = jnp.arange(yhat.shape[1])[None, :] == (jnp.arange(b) + offset)[:, None]
+    return jnp.sum(jnp.where(mask, yhat, 0.0), axis=1)
 
 
 def _sanitize(yhat, row_valid, col_valid):

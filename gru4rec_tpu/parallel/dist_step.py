@@ -97,7 +97,7 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
                                          dtype=jnp.int32)
             elif cfg.sampler == "alias":
                 neg = sample_negatives_alias(
-                    neg_key, AliasTable(samp1, samp2), chunk, n_sample)
+                    neg_key, AliasTable(samp1), chunk, n_sample)
             else:
                 neg = sample_negatives(neg_key, samp1, chunk, n_sample, n_items,
                                        cfg.sample_alpha)

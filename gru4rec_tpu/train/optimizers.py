@@ -61,8 +61,17 @@ def dedup_rows(idx, g):
 def _take_rows(table, uidx, fill=0.0):
     # uidx comes from dedup_rows: sorted ascending with a sentinel tail.
     # Sorted+unique gather/scatter hits a ~2x faster XLA path on TPU.
+    # Math always runs in float32; narrow-stored state is promoted on read.
     return table.at[uidx].get(
         mode="fill", fill_value=fill, indices_are_sorted=True, unique_indices=True
+    ).astype(jnp.float32)
+
+
+def _put_rows(table, uidx, rows):
+    # Counterpart of _take_rows: round to the table's storage dtype on write.
+    return table.at[uidx].set(
+        rows.astype(table.dtype), mode="drop", indices_are_sorted=True,
+        unique_indices=True,
     )
 
 
@@ -75,28 +84,44 @@ class Optimizer:
         self.momentum = cfg.momentum
         self.lmbd = cfg.lmbd
         self.grad_cap = cfg.grad_cap
+        self.sparse_state_dtype = jnp.dtype(cfg.opt_state_dtype)
         ap = cfg.adapt_params
         self.v1 = ap[0] if ap else 0.9
         self.v2 = ap[1] if len(ap) > 1 else 0.999
 
     # ------------------------------------------------------------------ #
-    def init_state(self, param) -> Dict:
+    def init_state(self, param, sparse: bool = False) -> Dict:
         # NOTE: one fresh buffer per slot — sharing a zeros array between
         # state slots breaks buffer donation (same buffer donated twice).
+        # Sparse (row-updated item-table) state is stored in
+        # ``opt_state_dtype`` (see config.py); dense state stays float32.
+        # Exception: adagrad's accumulator is a MONOTONE sum — in a narrow
+        # dtype late g^2 increments round away entirely (deterministic
+        # round-to-nearest), silently freezing the 1/sqrt(T) decay — so it
+        # always stays in the parameter dtype. EMA-type state (rmsprop /
+        # adadelta / adam accumulators, momentum velocity) is a contraction,
+        # where narrow storage only adds unbiased noise.
+        dt = self.sparse_state_dtype if sparse else param.dtype
+
+        def zeros(dtype=None):
+            return jnp.zeros(param.shape, dtype=dtype or dt)
+
         st: Dict = {}
-        if self.adapt in ("adagrad", "rmsprop", "adadelta", "adam"):
-            st["acc"] = jnp.zeros_like(param)
+        if self.adapt == "adagrad":
+            st["acc"] = zeros(param.dtype)
+        elif self.adapt in ("rmsprop", "adadelta", "adam"):
+            st["acc"] = zeros()
         if self.adapt == "adadelta":
-            st["upd"] = jnp.zeros_like(param)
+            st["upd"] = zeros()
         if self.adapt == "adam":
-            st["meang"] = jnp.zeros_like(param)
+            st["meang"] = zeros()
             st["count"] = (
                 jnp.zeros((param.shape[0],), dtype=jnp.float32)
                 if param.ndim >= 1
                 else jnp.zeros((), dtype=jnp.float32)
             )
         if self.momentum > 0:
-            st["velocity"] = jnp.zeros_like(param)
+            st["velocity"] = zeros()
         return st
 
     # ------------------------------------------------------------------ #
@@ -132,13 +157,11 @@ class Optimizer:
         a = self.adapt
         if a == "adagrad":
             rows = _take_rows(st["acc"], uidx) + g**2
-            acc = st["acc"].at[uidx].set(rows, mode="drop", indices_are_sorted=True, unique_indices=True)
-            st = {**st, "acc": acc}
+            st = {**st, "acc": _put_rows(st["acc"], uidx, rows)}
             return g / jnp.sqrt(rows + EPSILON), st
         if a == "rmsprop":
             rows = self.v1 * _take_rows(st["acc"], uidx) + (1.0 - self.v1) * g**2
-            acc = st["acc"].at[uidx].set(rows, mode="drop", indices_are_sorted=True, unique_indices=True)
-            st = {**st, "acc": acc}
+            st = {**st, "acc": _put_rows(st["acc"], uidx, rows)}
             return g / jnp.sqrt(rows + EPSILON), st
         if a == "adadelta":
             acc_rows = self.v1 * _take_rows(st["acc"], uidx) + (1.0 - self.v1) * g**2
@@ -147,8 +170,8 @@ class Optimizer:
             upd_rows = self.v1 * upd_rows_old + (1.0 - self.v1) * scaling * g**2
             st = {
                 **st,
-                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
-                "upd": st["upd"].at[uidx].set(upd_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
+                "acc": _put_rows(st["acc"], uidx, acc_rows),
+                "upd": _put_rows(st["upd"], uidx, upd_rows),
             }
             return g * jnp.sqrt(scaling), st
         if a == "adam":
@@ -160,14 +183,11 @@ class Optimizer:
             if g.ndim > 1:
                 corr1 = corr1[:, None]
                 corr2 = corr2[:, None]
-                cnt_col = cnt
-            else:
-                cnt_col = cnt
             st = {
                 **st,
-                "acc": st["acc"].at[uidx].set(acc_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
-                "meang": st["meang"].at[uidx].set(meang_rows, mode="drop", indices_are_sorted=True, unique_indices=True),
-                "count": st["count"].at[uidx].set(cnt_col, mode="drop", indices_are_sorted=True, unique_indices=True),
+                "acc": _put_rows(st["acc"], uidx, acc_rows),
+                "meang": _put_rows(st["meang"], uidx, meang_rows),
+                "count": _put_rows(st["count"], uidx, cnt),
             }
             return (meang_rows / corr1) / (jnp.sqrt(acc_rows / corr2) + EPSILON), st
         return g, st
@@ -181,8 +201,12 @@ class Optimizer:
             return p + vel, st
         return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
 
-    def _use_fused_kernel(self, table) -> bool:
+    def _use_fused_kernel(self, table, st) -> bool:
         if self.adapt != "adagrad" or table.ndim not in (2, 3):
+            return False
+        # the fused kernel operates on uniformly-typed rows; a narrow-stored
+        # velocity (opt_state_dtype) takes the XLA path
+        if self.momentum > 0 and st["velocity"].dtype != table.dtype:
             return False
         if _FORCE_PALLAS is not None:
             return _FORCE_PALLAS
@@ -199,7 +223,7 @@ class Optimizer:
         if table.ndim == 3 and g.ndim == 2:
             g = g[:, None, :]
         uidx, g = dedup_rows(idx, g)
-        if self._use_fused_kernel(table):
+        if self._use_fused_kernel(table, st):
             import jax
 
             from gru4rec_tpu.ops.kernels.sparse_update import fused_adagrad_update
@@ -222,7 +246,7 @@ class Optimizer:
             delta = self.lr * g
         if self.momentum > 0:
             v2 = self.momentum * _take_rows(st["velocity"], uidx) - delta
-            st = {**st, "velocity": st["velocity"].at[uidx].set(v2, mode="drop", indices_are_sorted=True, unique_indices=True)}
+            st = {**st, "velocity": _put_rows(st["velocity"], uidx, v2)}
             return table.at[uidx].add(v2, mode="drop", indices_are_sorted=True, unique_indices=True), st
         return table.at[uidx].add(-delta, mode="drop", indices_are_sorted=True, unique_indices=True), st
 

@@ -49,7 +49,9 @@ def init_train_state(cfg: GRU4RecConfig, n_items: int, key) -> TrainState:
     opt_state = {
         "dense": jax.tree_util.tree_map(opt.init_state, dense),
         "sparse": {
-            name: opt.init_state(params["Wx"][0] if name == "Wx0" else params[name])
+            name: opt.init_state(
+                params["Wx"][0] if name == "Wx0" else params[name], sparse=True
+            )
             for name in sparse_names
         },
     }
@@ -108,6 +110,10 @@ def promote_tables(state: TrainState, cfg: GRU4RecConfig):
                                                        _kernels_available)
 
     if cfg.adapt != "adagrad":
+        return state, ()
+    if cfg.momentum > 0 and cfg.opt_state_dtype != cfg.param_dtype:
+        # narrow velocity storage -> fused kernel declines (dtype guard in
+        # optimizers._use_fused_kernel); promotion would only add overhead
         return state, ()
     force = optmod._FORCE_PALLAS
     if force is False or (force is None and not _kernels_available()):
@@ -183,7 +189,7 @@ def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
                                          dtype=jnp.int32)
             elif cfg.sampler == "alias":
                 neg = sample_negatives_alias(
-                    neg_key, AliasTable(samp1, samp2), chunk, n_sample)
+                    neg_key, AliasTable(samp1), chunk, n_sample)
             else:
                 neg = sample_negatives(neg_key, samp1, chunk, n_sample, n_items,
                                        cfg.sample_alpha)
