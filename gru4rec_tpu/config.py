@@ -62,7 +62,11 @@ class GRU4RecConfig:
     seed: int = 42                # explicit PRNG seed (replaces np.random.seed(42), gru4rec.py:270)
     chunk_size: int = 512         # steps fused into one device call via lax.scan
     param_dtype: str = "float32"  # parameter dtype
-    compute_dtype: str = "float32"  # activation/matmul dtype ("bfloat16" for speed)
+    # Matmul operand dtype (MXU mixed precision): operands are cast per use,
+    # accumulation and everything else stays float32. bfloat16 is the natural
+    # MXU operand width; set "float32" for bit-exact reference-style matmuls
+    # (the numeric-parity tests do).
+    compute_dtype: str = "bfloat16"
     # Storage dtype of the row-sparse optimizer state (adagrad/rmsprop
     # accumulators, momentum velocity) of the big item tables. The update
     # math always runs in float32; only the persisted rows are rounded.

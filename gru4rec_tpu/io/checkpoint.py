@@ -14,7 +14,10 @@ from __future__ import annotations
 import json
 
 import jax
+import ml_dtypes
 import numpy as np
+
+_BF16 = np.dtype(ml_dtypes.bfloat16)
 
 from gru4rec_tpu.config import GRU4RecConfig
 
@@ -22,6 +25,22 @@ from gru4rec_tpu.config import GRU4RecConfig
 def _squeeze3(a):
     a = np.asarray(a)
     return a[:, 0, :] if a.ndim == 3 else a
+
+
+def _to_savable(a):
+    """npz cannot round-trip bfloat16 (numpy reloads it as void); store the
+    raw bits as uint16. The loader restores the dtype from the rebuilt
+    optimizer-state template (whose dtypes come from the saved config)."""
+    a = np.asarray(a)
+    if a.dtype == _BF16:
+        return a.view(np.uint16)
+    return a
+
+
+def _from_saved(a, like_dtype):
+    if np.dtype(like_dtype) == _BF16 and a.dtype == np.uint16:
+        return a.view(_BF16)
+    return a
 
 
 def _flatten_params(params) -> dict:
@@ -69,7 +88,7 @@ def save_model(model, fname: str, include_optimizer: bool = False) -> None:
     if include_optimizer and model._train_state is not None:
         flat, _ = jax.tree_util.tree_flatten(model._train_state.opt_state)
         for i, arr in enumerate(flat):
-            payload[f"opt/{i}"] = np.asarray(arr)
+            payload[f"opt/{i}"] = _to_savable(arr)
         payload["meta/opt_step"] = np.asarray(model._train_state.step)
     np.savez(fname, **payload)
 
@@ -81,7 +100,7 @@ def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
     payload = _flatten_params(state.params)
     opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
     for i, leaf in enumerate(opt_leaves):
-        payload[f"opt/{i}"] = _squeeze3(leaf)
+        payload[f"opt/{i}"] = _to_savable(_squeeze3(leaf))
     for i, h in enumerate(state.H):
         payload[f"state/H{i}"] = np.asarray(h)
     key = state.key
@@ -119,9 +138,11 @@ def load_train_checkpoint(fname: str, model):
         params = jax.tree_util.tree_map(jnp.asarray, _unflatten_params(archive))
         # rebuild the optimizer-state structure, then fill with saved leaves
         template = init_train_state(cfg, model.n_items, jax.random.PRNGKey(0))
-        treedef = jax.tree_util.tree_structure(template.opt_state)
-        n_leaves = treedef.num_leaves
-        opt_leaves = [jnp.asarray(archive[f"opt/{i}"]) for i in range(n_leaves)]
+        tmpl_leaves, treedef = jax.tree_util.tree_flatten(template.opt_state)
+        opt_leaves = [
+            jnp.asarray(_from_saved(archive[f"opt/{i}"], leaf.dtype))
+            for i, leaf in enumerate(tmpl_leaves)
+        ]
         opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
         H = tuple(
             jnp.asarray(archive[f"state/H{i}"]) for i in range(len(cfg.layers))

@@ -123,15 +123,29 @@ def _dropout(x, p, key):
     return jnp.where(mask, x / keep, 0.0)
 
 
-def gru_cell(vec, H, Wrz, Wh, hidden_act, hdim):
+def _make_mm(cfg: GRU4RecConfig):
+    """Matmul in ``compute_dtype`` with float32 accumulation (MXU mixed
+    precision): operands are cast to the compute dtype per use — parameters
+    and activations stay float32 everywhere else."""
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    def mm(a, b):
+        return jnp.dot(
+            a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32
+        )
+
+    return mm
+
+
+def gru_cell(vec, H, Wrz, Wh, hidden_act, hdim, mm=None):
     """One GRU cell given the precomputed input projection ``vec = x·Wx + Bh``
     (B, 3h) with column blocks [h | r | z] (reference: gru4rec.py:471-479)."""
-    rz = jax.nn.sigmoid(vec[:, hdim:] + jnp.dot(H, Wrz, preferred_element_type=vec.dtype))
+    if mm is None:
+        mm = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    rz = jax.nn.sigmoid(vec[:, hdim:] + mm(H, Wrz))
     r = rz[:, :hdim]
     z = rz[:, hdim:]
-    hbar = hidden_act(
-        jnp.dot(H * r, Wh, preferred_element_type=vec.dtype) + vec[:, :hdim]
-    )
+    hbar = hidden_act(mm(H * r, Wh) + vec[:, :hdim])
     return (1.0 - z) * H + z * hbar
 
 
@@ -165,6 +179,7 @@ def forward(
     hidden_act = get_activation(cfg.hidden_act)
     final_act_name = cfg.final_act
     layers = cfg.layers
+    mm = _make_mm(cfg)
     keys = (
         jax.random.split(key, len(layers) + 1)
         if (training and key is not None)
@@ -184,15 +199,15 @@ def forward(
     else:
         Sx = srows["Wx0"]
         vec = Sx + params["Bh"][0]
-        h = gru_cell(vec, H[0], params["Wrz"][0], params["Wh"][0], hidden_act, layers[0])
+        h = gru_cell(vec, H[0], params["Wrz"][0], params["Wh"][0], hidden_act, layers[0], mm)
         h = _dropout(h, cfg.dropout_p_hidden, keys[1]) if training else h
         y = h
         H_new.append(h)
         start = 1
 
     for i in range(start, len(layers)):
-        vec = jnp.dot(y, params["Wx"][i], preferred_element_type=y.dtype) + params["Bh"][i]
-        h = gru_cell(vec, H[i], params["Wrz"][i], params["Wh"][i], hidden_act, layers[i])
+        vec = mm(y, params["Wx"][i]) + params["Bh"][i]
+        h = gru_cell(vec, H[i], params["Wrz"][i], params["Wh"][i], hidden_act, layers[i], mm)
         h = _dropout(h, cfg.dropout_p_hidden, keys[i + 1]) if training else h
         y = h
         H_new.append(h)
@@ -205,7 +220,7 @@ def forward(
         # (reference: gru4rec.py:481-485); during training it reuses the
         # concatenated gather's tail.
         Syb = srows["Wy"] if "Wy" in srows else srows["WyS"][M:]
-    scores = jnp.dot(y, Syb[:, :-1].T, preferred_element_type=y.dtype) + Syb[:, -1]
+    scores = mm(y, Syb[:, :-1].T) + Syb[:, -1]
 
     fact = get_activation(final_act_name)
     if not training and final_act_name == "softmax_logit":

@@ -107,9 +107,11 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
         def step_fn(carry, xs):
             params, opt_state, H, key, step, loss_sum, ev_count = carry
             in_l, out_l, valid_l, reset_l, neg_t = xs
-            step_key = jax.random.fold_in(jax.random.fold_in(key, 0), step)
-            # per-device dropout must differ per lane block
-            step_key = jax.random.fold_in(step_key, di)
+            base_key = jax.random.fold_in(jax.random.fold_in(key, 0), step)
+            # per-device dropout must differ per lane block; anything feeding
+            # REPLICATED state (e.g. stochastic-rounding keys) must use
+            # base_key, which is identical on every device
+            step_key = jax.random.fold_in(base_key, di)
 
             valid_all = jax.lax.all_gather(valid_l, "data", tiled=True)
             out_all = jax.lax.all_gather(out_l, "data", tiled=True)

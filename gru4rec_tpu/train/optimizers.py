@@ -95,12 +95,15 @@ class Optimizer:
         # state slots breaks buffer donation (same buffer donated twice).
         # Sparse (row-updated item-table) state is stored in
         # ``opt_state_dtype`` (see config.py); dense state stays float32.
-        # Exception: adagrad's accumulator is a MONOTONE sum — in a narrow
-        # dtype late g^2 increments round away entirely (deterministic
-        # round-to-nearest), silently freezing the 1/sqrt(T) decay — so it
-        # always stays in the parameter dtype. EMA-type state (rmsprop /
-        # adadelta / adam accumulators, momentum velocity) is a contraction,
-        # where narrow storage only adds unbiased noise.
+        # Adagrad's accumulator is a MONOTONE sum — in a narrow dtype with
+        # round-to-nearest, late g^2 increments would round away entirely and
+        # silently freeze the 1/sqrt(T) decay — so it always stays in the
+        # parameter dtype. (Stochastic rounding fixes the bias but was
+        # measured a net loss on v5e: the dither costs more than bf16
+        # scatters save, because the (16,128) bf16 tile doubles the
+        # sublane read-modify-write amplification of row scatters.)
+        # EMA-type state (rmsprop / adadelta / adam accumulators, momentum
+        # velocity) is a contraction, where nearest-rounding is plain noise.
         dt = self.sparse_state_dtype if sparse else param.dtype
 
         def zeros(dtype=None):
@@ -204,8 +207,10 @@ class Optimizer:
     def _use_fused_kernel(self, table, st) -> bool:
         if self.adapt != "adagrad" or table.ndim not in (2, 3):
             return False
-        # the fused kernel operates on uniformly-typed rows; a narrow-stored
-        # velocity (opt_state_dtype) takes the XLA path
+        # the fused kernel operates on uniformly-typed rows; narrow-stored
+        # state (opt_state_dtype) takes the XLA path
+        if st["acc"].dtype != table.dtype:
+            return False
         if self.momentum > 0 and st["velocity"].dtype != table.dtype:
             return False
         if _FORCE_PALLAS is not None:
@@ -215,11 +220,13 @@ class Optimizer:
 
         return table.shape[0] >= PALLAS_MIN_ROWS and _kernels_available()
 
-    def apply_sparse(self, table, idx, g, st):
+    def apply_sparse(self, table, idx, g, st, key=None):
         """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``.
 
         Large tables may arrive in (n, 1, d) layout (see train/step.py
-        promote_tables): row gradients are lifted to match."""
+        promote_tables): row gradients are lifted to match. ``key`` is
+        accepted for API stability (rounding-dither hook) and currently
+        unused."""
         if table.ndim == 3 and g.ndim == 2:
             g = g[:, None, :]
         uidx, g = dedup_rows(idx, g)

@@ -91,7 +91,9 @@ def test_forward_matches_oracle(mode_kwargs, n_layers):
     n_items, B, n_neg = 40, 6, 10
     cfg = GRU4RecConfig(
         layers=[16] * n_layers, batch_size=B, n_sample=n_neg, final_act="elu-1",
-        item_pad_multiple=8, dropout_p_hidden=0.0, dropout_p_embed=0.0, **mode_kwargs
+        item_pad_multiple=8, dropout_p_hidden=0.0, dropout_p_embed=0.0,
+        compute_dtype="float32",  # bit-exact parity against the f32 oracle
+        **mode_kwargs
     )
     params = gru.init_params(cfg, n_items)
     rng = np.random.RandomState(0)
