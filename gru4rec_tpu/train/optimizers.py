@@ -46,8 +46,11 @@ def dedup_rows(idx, g):
     stay dropped.
     """
     n = idx.shape[0]
-    order = jnp.argsort(idx)
-    sidx = jnp.take(idx, order)
+    # one two-output sort yields both the sorted keys and the permutation
+    # (argsort + a separate take costs an extra pass)
+    sidx, order = jax.lax.sort(
+        (idx.astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
     sg = jnp.take(g, order, axis=0)
     head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1
