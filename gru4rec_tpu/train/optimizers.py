@@ -54,7 +54,7 @@ def dedup_rows(idx, g):
     sg = jnp.take(g, order, axis=0)
     head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-    g_sum = jax.ops.segment_sum(sg, seg, num_segments=n)
+    g_sum = jax.ops.segment_sum(sg, seg, num_segments=n, indices_are_sorted=True)
     sentinel = jnp.iinfo(jnp.int32).max
     uidx = jnp.full((n,), sentinel, dtype=jnp.int32)
     uidx = uidx.at[seg].set(sidx.astype(jnp.int32))
@@ -257,8 +257,10 @@ class Optimizer:
         if self.momentum > 0:
             v2 = self.momentum * _take_rows(st["velocity"], uidx) - delta
             st = {**st, "velocity": _put_rows(st["velocity"], uidx, v2)}
-            return table.at[uidx].add(v2, mode="drop", indices_are_sorted=True, unique_indices=True), st
-        return table.at[uidx].add(-delta, mode="drop", indices_are_sorted=True, unique_indices=True), st
+            new_rows = _take_rows(table, uidx) + v2
+            return _put_rows(table, uidx, new_rows), st
+        new_rows = _take_rows(table, uidx) - delta
+        return _put_rows(table, uidx, new_rows), st
 
     # ------------------------------------------------------------------ #
     def clip_by_global_norm(self, dense_grads, sparse_grads):
