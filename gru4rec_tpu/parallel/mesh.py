@@ -27,6 +27,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> None:
+    """Multi-host initialization hook (SURVEY.md §2.10: the NCCL-equivalent is
+    XLA collectives over ICI/DCN, bootstrapped by ``jax.distributed``).
+
+    Call once per host before any other JAX API when training spans multiple
+    hosts (e.g. a v5e pod slice). With no arguments, JAX auto-detects the
+    cluster environment (TPU pod metadata, SLURM, etc.); arguments are passed
+    through for manual setups. No-op if the distributed runtime is already
+    initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already initialized" not in str(e):
+            raise
+
+
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_data * n_model > len(devices):
