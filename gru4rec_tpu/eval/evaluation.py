@@ -34,6 +34,30 @@ from gru4rec_tpu.models import gru
 from gru4rec_tpu.ops.ranking import TIE_MODES, compute_ranks
 
 
+# Compiled-evaluator cache: make_eval_chunk_fn returns a fresh jax.jit
+# wrapper, and a fresh wrapper means a full retrace + (tunnel) recompile —
+# ~1.7s per evaluate() call even with identical shapes. Keyed by everything
+# that shapes the compiled graph.
+_CHUNK_FN_CACHE: dict = {}
+
+
+def _cached_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
+                          items_subset):
+    import json
+
+    key = (
+        json.dumps(cfg.to_dict(), sort_keys=True, default=str),
+        n_items, tuple(int(c) for c in cutoffs), tie_mode, int(batch_size),
+        bool(items_subset),
+    )
+    fn = _CHUNK_FN_CACHE.get(key)
+    if fn is None:
+        fn = make_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
+                                items_subset)
+        _CHUNK_FN_CACHE[key] = fn
+    return fn
+
+
 def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                        tie_mode: str, batch_size: int, items_subset: bool = False):
     """Build the jitted per-chunk evaluation function."""
@@ -139,7 +163,7 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
     if items_subset:
         item_idx = jnp.asarray(itemidmap[items].values.astype(np.int32))
 
-    chunk_fn = make_eval_chunk_fn(
+    chunk_fn = _cached_eval_chunk_fn(
         cfg, gru_model.n_items, cutoffs, mode, batch_size, items_subset
     )
     H = tuple(gru.init_hidden(cfg, batch_size))
@@ -153,7 +177,12 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
     T = sched.n_steps
     for t0 in range(0, T, C):
         t1 = min(t0 + C, T)
-        pad = C - (t1 - t0)
+        # pad the tail chunk to a multiple of 64 steps, not all the way to C:
+        # short eval sets would otherwise burn up to C-1 fully-masked steps
+        # (a 60k-event eval at batch 512 is ~110 real steps — padding to 512
+        # was 4.6x wasted device time). Each distinct padded length compiles
+        # once; there are at most C/64 variants.
+        pad = -(t1 - t0) % 64
         sl = lambda a: np.pad(a[t0:t1], ((0, pad), (0, 0)))
         args = (
             jnp.asarray(sl(sched.in_idx)),
