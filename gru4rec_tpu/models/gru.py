@@ -49,11 +49,12 @@ def input_mode(cfg: GRU4RecConfig) -> str:
 
 
 def pad_items(n_items: int, multiple: int) -> int:
-    """Smallest multiple of ``multiple`` that is STRICTLY greater than
-    n_items: at least one padding row always exists, so the sparse-update
-    kernels can use the last row as a write-through target for sentinel
-    (dropped) indices without ever aliasing a real item row."""
-    return ((n_items + multiple) // multiple) * multiple
+    """Smallest multiple of ``multiple`` at least 8 rows greater than
+    n_items: the spare rows give the sparse-update kernels a write-through
+    target for sentinel (dropped) indices — the group-blocked Pallas kernel
+    parks its padded grid steps on the last 8-row group, which must therefore
+    contain no real item row (ops/kernels/sparse_update.py)."""
+    return ((n_items + 7 + multiple) // multiple) * multiple
 
 
 def init_params(cfg: GRU4RecConfig, n_items: int) -> Dict:

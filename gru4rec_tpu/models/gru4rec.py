@@ -189,9 +189,6 @@ class GRU4Rec:
 
                 return TrainState(*out[:5]), out[5], out[6]
         else:
-            from gru4rec_tpu.train.step import demote_tables, promote_tables
-
-            state, _promoted = promote_tables(state, cfg)
             chunk_fn = make_chunk_fn(cfg, self.n_items)
 
         base_order = session_order(data, session_key, time_key, cfg.time_sort,
@@ -263,8 +260,6 @@ class GRU4Rec:
                 self.params = state.params
                 save_train_checkpoint(self, state, epoch + 1, checkpoint_path)
                 print(f"Checkpoint saved to {checkpoint_path} (epoch {epoch + 1})")
-        if mesh is None:
-            state = demote_tables(state, _promoted)
         if mesh is not None:
             # gather sharded params back to host-local arrays so the
             # single-device eval/serving paths work unchanged (key left as-is)

@@ -1,21 +1,46 @@
-"""Pallas TPU kernel: fused row-sparse adagrad(+momentum) update.
+"""Pallas TPU kernel: fused row-sparse adagrad(+momentum) update, group-blocked.
 
 The spiritual successor of the reference's one hand-written hot kernel
 (``GpuAdvancedSubtensor1_fast``, custom_theano_ops.py:409-595 — a faster row
-gather/scatter for the per-step item-table updates). XLA's scatter slows
-down as the vocabulary grows; this kernel updates parameter, adagrad
-accumulator, and momentum-velocity rows in ONE pass over the touched rows
-(scalar-prefetched indices drive per-row block DMAs, in-place via
-input/output aliasing), with cost proportional to the update size, not the
-table size: measured end-to-end on v5e, +11% training throughput at a
-1M-item vocabulary (and flat in vocab size), break-even around 100-200k.
+gather/scatter for the per-step item-table updates). XLA's row scatters stop
+updating in place once the table outgrows fast memory (~100k rows on v5e) and
+fall back to materializing a full-table copy per scatter — at a Rees46-sized
+table (200k x 513) that is ~1.8 ms PER SCATTER. This kernel updates
+parameter + adagrad accumulator (+ momentum velocity) rows in one pass whose
+cost is proportional to the number of touched rows.
 
-Dispatch: ``fused_adagrad_update`` is used by train/optimizers.py when the
-table is large enough for the XLA scatters to lose
-(``rows >= PALLAS_MIN_ROWS``) and the optimizer is adagrad(+momentum) — the
-configuration of every published best-hyperparameter file. All other cases
-take the XLA path, which doubles as this kernel's differential-test oracle
-(the reference's own disable_custom_op pattern, gpu_ops.py:13-27).
+Design (v2 — "group-blocked"): Mosaic requires block shapes whose last two
+dims are (8k, 128m) or equal to the array dims, so arbitrary single rows of a
+2-D f32 table cannot be blocks. The first version lifted tables to (n, 1, d)
+to get per-row blocks, but that forces a T(1,128) layout on the table and the
+step's forward gather then relayouts the WHOLE table back to 2-D T(8,128)
+every step (~1.5 ms at Rees46 size). Instead, v2 keeps the table in its
+natural 2-D layout and works on the 8-row GROUPS the (8,128) tiling already
+defines:
+
+* the (sorted, deduped) touched rows are bucketed by row-group ``r >> 3``;
+  each distinct group becomes one grid step whose table/acc/vel blocks are
+  the aligned (8, d) slice — a legal block spec, bit-compatible with the
+  table's natural tiles;
+* gradient rows are pre-packed (one XLA gather) into a group-aligned
+  (8*K, d) buffer where member row ``r`` sits at sublane ``r & 7`` of its
+  group's block and non-member sublanes are ZERO — for adagrad a zero
+  gradient row is an exact no-op, so untouched rows in a visited group pass
+  through bit-identically without masking;
+* momentum / L2 terms are not no-ops under zero gradient, so those variants
+  additionally take a per-group member bitmask (scalar-prefetched) and
+  ``where`` the non-members back to their inputs;
+* padded grid steps (the group list is padded to static length) point at a
+  dedicated all-padding dummy group (models/gru.py pad_items guarantees >= 8
+  spare rows) so their write-backs can never clobber a real group — the grid
+  is sequential, but block DMAs are pipelined, so two grid steps must never
+  target the same block.
+
+Dispatch: used by train/optimizers.py when the optimizer is adagrad and the
+table is large enough for XLA's scatters to lose (``rows >= PALLAS_MIN_ROWS``).
+All other cases take the XLA path, which doubles as this kernel's
+differential-test oracle (the reference's own disable_custom_op pattern,
+gpu_ops.py:13-27).
 """
 
 from __future__ import annotations
@@ -27,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 EPSILON = 1e-6  # keep in sync with train/optimizers.py
-PALLAS_MIN_ROWS = 131072  # below this, XLA scatters win (measured on v5e)
+PALLAS_MIN_ROWS = 98304  # below this, XLA's in-place scatters win (v5e)
 
 
 def _kernels_available() -> bool:
@@ -37,114 +62,135 @@ def _kernels_available() -> bool:
         return False
 
 
+def group_pack(uidx, g, n_rows):
+    """Bucket deduped rows by 8-row group and pack gradients group-aligned.
+
+    ``uidx`` is sorted-ascending distinct row ids with an int32-max sentinel
+    tail (train/optimizers.py dedup_rows); members of one group are therefore
+    consecutive. Returns:
+
+    * ``gblk``  (K,) int32 — per grid step, the 8-row block id to update;
+      padded steps point at the dummy group ``n_rows//8 - 1`` (all padding
+      rows by pad_items' >= 8 spare-row guarantee);
+    * ``mask``  (K,) int32 — per grid step, bit ``b`` set iff sublane ``b``
+      is a real member (only consumed by the momentum/L2 kernel variants);
+    * ``gpad``  (8K, d) — gradient rows scattered to slot
+      ``8*group_slot + (row & 7)``; all other slots zero.
+    """
+    K = uidx.shape[0]
+    d = g.shape[-1]
+    dummy_blk = n_rows // 8 - 1
+    valid = uidx < n_rows
+    gid = jnp.where(valid, uidx >> 3, jnp.int32(np.iinfo(np.int32).max))
+    head = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
+    gslot = jnp.cumsum(head.astype(jnp.int32)) - 1  # group slot per member
+
+    gblk = jnp.full((K,), -1, jnp.int32)
+    gblk = gblk.at[gslot].max(jnp.where(valid, gid, -1))
+    gblk = jnp.where(gblk < 0, dummy_blk, gblk)
+
+    sub = (uidx & 7).astype(jnp.int32)
+    bits = jnp.where(valid, jnp.int32(1) << sub, 0)
+    mask = jnp.zeros((K,), jnp.int32).at[gslot].add(bits)
+
+    # slot of each member in the packed gradient buffer; invalid members go
+    # to a trash slot past the end (dropped)
+    slot = jnp.where(valid, 8 * gslot + sub, 8 * K)
+    src = jnp.full((8 * K,), K, jnp.int32)  # K = out-of-range -> fill 0
+    src = src.at[slot].set(jnp.arange(K, dtype=jnp.int32), mode="drop")
+    gpad = g.at[src].get(mode="fill", fill_value=0.0)
+    return gblk, mask, gpad
+
+
 @partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "interpret"))
-def fused_adagrad_update(table, acc, vel, uidx, g, *, lr: float, momentum: float,
-                         lmbd: float, interpret: bool = False):
-    """In one pass over the touched rows:
+def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
+                         momentum: float, lmbd: float, interpret: bool = False):
+    """Group-blocked fused update over the touched rows of a 2-D table:
 
-        acc[i]   += g[i]^2                  (adagrad accumulator)
-        gs        = g[i] / sqrt(acc[i]+eps)
-        delta     = lr * (gs + lmbd * table[i])
-        vel[i]    = momentum * vel[i] - delta   (if momentum > 0)
-        table[i] += vel[i]                      (or -= delta without momentum)
+        acc[r]   += g[r]^2                 (adagrad accumulator)
+        gs        = g[r] / sqrt(acc[r]+eps)
+        delta     = lr * (gs + lmbd * table[r])
+        vel[r]    = momentum * vel[r] - delta   (if momentum > 0)
+        table[r] += vel[r]                      (or -= delta without momentum)
 
-    ``uidx`` is deduped-sorted with an int32-max sentinel tail (see
-    train/optimizers.py:dedup_rows); sentinel rows are passed through
-    untouched (they map onto the guaranteed padding row, models/gru.py
-    pad_items). ``vel`` may be None when momentum == 0 (a dummy is threaded
-    to keep one kernel signature). Returns (table, acc, vel).
-
-    IMPORTANT: tables should be passed in (n, 1, d) layout when called inside
-    a scan — reshaping a scan carry breaks XLA's in-place aliasing and turns
-    the update into full-table copies (measured 20x slowdown at 1M rows).
-    2-D inputs are accepted and reshaped for convenience (tests, one-off use).
+    ``gblk``/``mask``/``gpad`` come from :func:`group_pack`. ``vel`` may be
+    None when momentum == 0. Returns (table, acc, vel).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    was_2d = table.ndim == 2
-    if was_2d:
-        table = table[:, None, :]
-        acc = acc[:, None, :]
-        vel = vel[:, None, :] if vel is not None else None
-    n_rows, _, d = table.shape
-    n_idx = uidx.shape[0]
+    n_rows, d = table.shape
+    K = gblk.shape[0]
     has_momentum = momentum > 0
+    needs_mask = has_momentum or lmbd > 0
     if vel is None:
-        vel = jnp.zeros((1, 1, d), table.dtype)  # dummy, never indexed beyond row 0
+        vel = jnp.zeros((8, d), table.dtype)  # dummy, only block 0 is read
 
-    t3, a3, v3 = table, acc, vel
-    g3 = g.reshape(n_idx, 1, d)
+    def blk_map(j, gblk_ref, mask_ref):
+        return (gblk_ref[j], 0)
 
-    def row_map(i, idx_ref):
-        return (jnp.minimum(idx_ref[i], n_rows - 1), 0, 0)
-
-    def vel_map(i, idx_ref):
+    def vel_map(j, gblk_ref, mask_ref):
         if has_momentum:
-            return (jnp.minimum(idx_ref[i], n_rows - 1), 0, 0)
-        return (0, 0, 0)
+            return (gblk_ref[j], 0)
+        return (0, 0)
 
-    def g_map(i, idx_ref):
-        return (i, 0, 0)
+    def g_map(j, gblk_ref, mask_ref):
+        return (j, 0)
 
-    def kernel(idx_ref, t_ref, a_ref, v_ref, g_ref, to_ref, ao_ref, vo_ref):
-        i = pl.program_id(0)
-        valid = idx_ref[i] < n_rows
-
-        @pl.when(valid)
-        def _():
-            gr = g_ref[...]
-            acc_new = a_ref[...] + gr * gr
-            gs = gr * jax.lax.rsqrt(acc_new + EPSILON)
-            if lmbd > 0:
-                delta = lr * (gs + lmbd * t_ref[...])
-            else:
-                delta = lr * gs
-            if has_momentum:
-                v2 = momentum * v_ref[...] - delta
-                vo_ref[...] = v2
-                to_ref[...] = t_ref[...] + v2
-            else:
-                vo_ref[...] = v_ref[...]
-                to_ref[...] = t_ref[...] - delta
-            ao_ref[...] = acc_new
-
-        @pl.when(jnp.logical_not(valid))
-        def _():
-            to_ref[...] = t_ref[...]
-            ao_ref[...] = a_ref[...]
+    def kernel(gblk_ref, mask_ref, t_ref, a_ref, v_ref, g_ref,
+               to_ref, ao_ref, vo_ref):
+        g = g_ref[...]
+        acc_new = a_ref[...] + g * g
+        gs = g * jax.lax.rsqrt(acc_new + EPSILON)
+        if needs_mask:
+            j = pl.program_id(0)
+            bits = mask_ref[j]
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            member = ((bits >> rowid) & 1) > 0
+        if lmbd > 0:
+            delta = lr * (gs + lmbd * t_ref[...])
+        else:
+            delta = lr * gs
+        if has_momentum:
+            v2 = momentum * v_ref[...] - delta
+            v2 = jnp.where(member, v2, v_ref[...])
+            vo_ref[...] = v2
+            to_ref[...] = t_ref[...] + jnp.where(member, v2, 0.0)
+        else:
             vo_ref[...] = v_ref[...]
+            if lmbd > 0:
+                to_ref[...] = t_ref[...] - jnp.where(member, delta, 0.0)
+            else:
+                # zero gradient rows give delta == 0: exact no-op, no mask
+                to_ref[...] = t_ref[...] - delta
+        ao_ref[...] = acc_new  # zero-g rows: acc unchanged exactly
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_idx,),
+        num_scalar_prefetch=2,
+        grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, 1, d), row_map),
-            pl.BlockSpec((1, 1, d), row_map),
-            pl.BlockSpec((1, 1, d), vel_map),
-            pl.BlockSpec((1, 1, d), g_map),
+            pl.BlockSpec((8, d), blk_map),
+            pl.BlockSpec((8, d), blk_map),
+            pl.BlockSpec((8, d), vel_map),
+            pl.BlockSpec((8, d), g_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, d), row_map),
-            pl.BlockSpec((1, 1, d), row_map),
-            pl.BlockSpec((1, 1, d), vel_map),
+            pl.BlockSpec((8, d), blk_map),
+            pl.BlockSpec((8, d), blk_map),
+            pl.BlockSpec((8, d), vel_map),
         ],
     )
     t_out, a_out, v_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(t3.shape, t3.dtype),
-            jax.ShapeDtypeStruct(a3.shape, a3.dtype),
-            jax.ShapeDtypeStruct(v3.shape, v3.dtype),
+            jax.ShapeDtypeStruct(table.shape, table.dtype),
+            jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+            jax.ShapeDtypeStruct(vel.shape, vel.dtype),
         ],
-        # alias (idx, table, acc, vel, g) inputs 1..3 onto outputs 0..2
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        # alias (gblk, mask, table, acc, vel, gpad) inputs 2..4 onto outputs
+        input_output_aliases={2: 0, 3: 1, 4: 2},
         interpret=interpret,
-    )(uidx, t3, a3, v3, g3)
+    )(gblk, mask, table, acc, vel, gpad)
     vel = v_out if has_momentum else None
-    if was_2d:
-        t_out = t_out[:, 0, :]
-        a_out = a_out[:, 0, :]
-        vel = vel[:, 0, :] if vel is not None else None
     return t_out, a_out, vel

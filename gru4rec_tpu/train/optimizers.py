@@ -208,7 +208,7 @@ class Optimizer:
         return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
 
     def _use_fused_kernel(self, table, st) -> bool:
-        if self.adapt != "adagrad" or table.ndim not in (2, 3):
+        if self.adapt != "adagrad" or table.ndim != 2:
             return False
         # the fused kernel operates on uniformly-typed rows; narrow-stored
         # state (opt_state_dtype) takes the XLA path
@@ -226,21 +226,19 @@ class Optimizer:
     def apply_sparse(self, table, idx, g, st, key=None):
         """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``.
 
-        Large tables may arrive in (n, 1, d) layout (see train/step.py
-        promote_tables): row gradients are lifted to match. ``key`` is
-        accepted for API stability (rounding-dither hook) and currently
-        unused."""
-        if table.ndim == 3 and g.ndim == 2:
-            g = g[:, None, :]
+        ``key`` is accepted for API stability (rounding-dither hook) and
+        currently unused."""
         uidx, g = dedup_rows(idx, g)
         if self._use_fused_kernel(table, st):
             import jax
 
-            from gru4rec_tpu.ops.kernels.sparse_update import fused_adagrad_update
+            from gru4rec_tpu.ops.kernels.sparse_update import (
+                fused_adagrad_update, group_pack)
 
             interpret = jax.default_backend() != "tpu"
+            gblk, mask, gpad = group_pack(uidx, g, table.shape[0])
             table, acc, vel = fused_adagrad_update(
-                table, st["acc"], st.get("velocity"), uidx, g,
+                table, st["acc"], st.get("velocity"), gblk, mask, gpad,
                 lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
                 interpret=interpret,
             )

@@ -94,72 +94,8 @@ def _state_name(srow_name: str) -> str:
 
 
 def _take_rows2d(table, idx):
-    """Gather rows from a table that may be in (n, d) or (n, 1, d) layout."""
     rows = jnp.take(table, idx, axis=0)
-    return rows[:, 0, :] if table.ndim == 3 else rows
-
-
-def promote_tables(state: TrainState, cfg: GRU4RecConfig):
-    """Lift large item tables (and their optimizer state) into (n, 1, d)
-    layout so the fused Pallas row-update kernel keeps in-place aliasing
-    inside the step scan (reshaping a scan carry forces full-table copies).
-    No-op unless the fused-kernel dispatch predicate holds. Returns
-    (state, promoted_names)."""
-    import gru4rec_tpu.train.optimizers as optmod
-    from gru4rec_tpu.ops.kernels.sparse_update import (PALLAS_MIN_ROWS,
-                                                       _kernels_available)
-
-    if cfg.adapt != "adagrad":
-        return state, ()
-    if cfg.momentum > 0 and cfg.opt_state_dtype != cfg.param_dtype:
-        # narrow velocity storage -> fused kernel declines (dtype guard in
-        # optimizers._use_fused_kernel); promotion would only add overhead
-        return state, ()
-    force = optmod._FORCE_PALLAS
-    if force is False or (force is None and not _kernels_available()):
-        return state, ()
-    mode = gru.input_mode(cfg)
-    candidates = {"onehot": ("Wy", "Wx0"), "embedding": ("Wy", "E")}.get(mode, ("Wy",))
-    params = dict(state.params)
-    sparse_state = dict(state.opt_state["sparse"])
-    promoted = []
-    for name in candidates:
-        table = params["Wx"][0] if name == "Wx0" else params[name]
-        if force is None and table.shape[0] < PALLAS_MIN_ROWS:
-            continue
-        t3 = table[:, None, :]
-        if name == "Wx0":
-            params["Wx"] = [t3] + list(params["Wx"][1:])
-        else:
-            params[name] = t3
-        sparse_state[name] = jax.tree_util.tree_map(
-            lambda a: a[:, None, :] if a.ndim == 2 else a, sparse_state[name]
-        )
-        promoted.append(name)
-    if not promoted:
-        return state, ()
-    opt_state = dict(state.opt_state)
-    opt_state["sparse"] = sparse_state
-    return state._replace(params=params, opt_state=opt_state), tuple(promoted)
-
-
-def demote_tables(state: TrainState, promoted):
-    """Inverse of promote_tables."""
-    if not promoted:
-        return state
-    params = dict(state.params)
-    sparse_state = dict(state.opt_state["sparse"])
-    for name in promoted:
-        if name == "Wx0":
-            params["Wx"] = [params["Wx"][0][:, 0, :]] + list(params["Wx"][1:])
-        else:
-            params[name] = params[name][:, 0, :]
-        sparse_state[name] = jax.tree_util.tree_map(
-            lambda a: a[:, 0, :] if a.ndim == 3 else a, sparse_state[name]
-        )
-    opt_state = dict(state.opt_state)
-    opt_state["sparse"] = sparse_state
-    return state._replace(params=params, opt_state=opt_state)
+    return rows
 
 
 def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):

@@ -20,12 +20,14 @@ def test_fused_adagrad_matches_xla(momentum, lmbd, with_dupes_and_sentinels, mon
     cfg = GRU4RecConfig(adapt="adagrad", momentum=momentum, lmbd=lmbd,
                         learning_rate=0.1)
     table = rng.randn(n_rows, d).astype(np.float32)
+    # last 8 rows = padding (models/gru.py pad_items guarantees >= 8 spare
+    # rows; the grouped kernel parks padded grid steps on the final group)
     if with_dupes_and_sentinels:
-        idx = rng.randint(0, n_rows - 1, n_idx).astype(np.int32)  # last row = padding
+        idx = rng.randint(0, n_rows - 8, n_idx).astype(np.int32)
         idx[5] = idx[3]
         idx[-4:] = np.iinfo(np.int32).max
     else:
-        idx = rng.choice(n_rows - 1, n_idx, replace=False).astype(np.int32)
+        idx = rng.choice(n_rows - 8, n_idx, replace=False).astype(np.int32)
     g = rng.randn(n_idx, d).astype(np.float32) * 0.1
 
     def run(force):
@@ -48,8 +50,8 @@ def test_fused_adagrad_matches_xla(momentum, lmbd, with_dupes_and_sentinels, mon
 
 
 def test_fit_with_forced_pallas_matches_xla(monkeypatch):
-    """End-to-end: training with the fused kernel (table promotion active)
-    must reproduce the XLA-path parameters."""
+    """End-to-end: training with the fused kernel must reproduce the
+    XLA-path parameters."""
     import pandas as pd
 
     from gru4rec_tpu import GRU4Rec, GRU4RecConfig
