@@ -21,7 +21,7 @@ also provided.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ module is new capability, not a port.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
