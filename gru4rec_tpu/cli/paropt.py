@@ -128,6 +128,12 @@ def main(argv=None):
     parser.add_argument("-sk", "--session_key", type=str, default="SessionId")
     parser.add_argument("-tk", "--time_key", type=str, default="Time")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--storage", metavar="URL", type=str, default=None,
+                        help="Optuna storage URL (e.g. sqlite:///study.db) for "
+                             "resumable studies; combine with --study-name.")
+    parser.add_argument("--study-name", metavar="NAME", type=str, default=None,
+                        help="Optuna study name (with --storage, an existing "
+                             "study is resumed).")
     args = parser.parse_args(argv)
 
     par_space = []
@@ -148,8 +154,15 @@ def main(argv=None):
             pstr = ",".join(f"{p.name}={p.suggest_optuna(trial)}" for p in par_space)
             return run_once(args, pstr)
 
-        study = optuna.create_study(direction="maximize")
-        study.optimize(objective, n_trials=args.ntrials)
+        # crashed runs resume from the same storage (SURVEY.md §5: paropt
+        # trials as isolated processes, resumable Optuna storage)
+        study = optuna.create_study(
+            direction="maximize", storage=args.storage,
+            study_name=args.study_name, load_if_exists=args.storage is not None,
+        )
+        done = len([t for t in study.trials
+                    if t.state == optuna.trial.TrialState.COMPLETE])
+        study.optimize(objective, n_trials=max(0, args.ntrials - done))
         best_params = study.best_params
     except ImportError:
         print("(optuna not installed: using built-in random search)")
