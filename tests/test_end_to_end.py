@@ -104,3 +104,30 @@ def test_nan_abort_sets_error_flag():
     if m.error_during_train:
         with pytest.raises(Exception):
             evaluate(m, data, cut_off=[5], batch_size=8)
+
+
+def test_item_subset_evaluation_and_prediction(trained):
+    """Item-subset scoring (reference: evaluate_gpu's `items` arg,
+    evaluation.py:104-105, and predict_next_batch's predict_for_item_ids):
+    ranks are computed against target + subset only."""
+    m, _ = trained
+    test = markov_data(n_sessions=40, seed=11)
+    items_all = [f"item_{i}" for i in range(30)]
+
+    # subset containing the whole vocabulary must match full-catalog results
+    rec_full, mrr_full = evaluate(m, test, cut_off=[5], batch_size=16)
+    rec_all, mrr_all = evaluate(m, test, items=items_all, cut_off=[5], batch_size=16)
+    assert abs(rec_full[0] - rec_all[0]) < 1e-6
+    assert abs(mrr_full[0] - mrr_all[0]) < 1e-6
+
+    # a smaller competitor pool can only improve the target's rank
+    rec_sub, _ = evaluate(m, test, items=items_all[:10], cut_off=[5], batch_size=16)
+    assert rec_sub[0] >= rec_full[0] - 1e-6
+
+    # predict_next_batch with predict_for_item_ids returns only those rows
+    preds = m.predict_next_batch(
+        np.array([901, 902]), np.array(["item_3", "item_10"]),
+        predict_for_item_ids=np.array(items_all[:7]), batch=2,
+    )
+    assert list(preds.index) == items_all[:7]
+    assert preds.shape == (7, 2)
