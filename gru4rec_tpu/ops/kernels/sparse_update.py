@@ -137,11 +137,16 @@ def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
     def g_map(j, gblk_ref, mask_ref):
         return (j, 0)
 
+    vel_dtype = vel.dtype
+
     def kernel(gblk_ref, mask_ref, t_ref, a_ref, v_ref, g_ref,
                to_ref, ao_ref, vo_ref):
         g = g_ref[...]
         acc_new = a_ref[...] + g * g
-        gs = g * jax.lax.rsqrt(acc_new + EPSILON)
+        # divide by sqrt (not multiply by rsqrt): rsqrt rounds differently
+        # and the 1-ulp difference vs the XLA oracle path compounds over a
+        # training run
+        gs = g / jnp.sqrt(acc_new + EPSILON)
         if needs_mask:
             j = pl.program_id(0)
             bits = mask_ref[j]
@@ -152,9 +157,13 @@ def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
         else:
             delta = lr * gs
         if has_momentum:
-            v2 = momentum * v_ref[...] - delta
-            v2 = jnp.where(member, v2, v_ref[...])
-            vo_ref[...] = v2
+            # velocity may be stored narrow (opt_state_dtype); math runs in
+            # f32 and the UNROUNDED v2 updates the table — exactly like the
+            # XLA path (train/optimizers.py)
+            v_old = v_ref[...].astype(jnp.float32)
+            v2 = momentum * v_old - delta
+            v2 = jnp.where(member, v2, v_old)
+            vo_ref[...] = v2.astype(vel_dtype)
             to_ref[...] = t_ref[...] + jnp.where(member, v2, 0.0)
         else:
             vo_ref[...] = v_ref[...]

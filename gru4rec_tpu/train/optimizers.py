@@ -210,11 +210,10 @@ class Optimizer:
     def _use_fused_kernel(self, table, st) -> bool:
         if self.adapt != "adagrad" or table.ndim != 2:
             return False
-        # the fused kernel operates on uniformly-typed rows; narrow-stored
-        # state (opt_state_dtype) takes the XLA path
+        # adagrad's accumulator always matches the param dtype (init_state);
+        # a mismatch means an exotic hand-built state — take the XLA path.
+        # Narrow (bf16) velocity is handled natively by the kernel.
         if st["acc"].dtype != table.dtype:
-            return False
-        if self.momentum > 0 and st["velocity"].dtype != table.dtype:
             return False
         if _FORCE_PALLAS is not None:
             return _FORCE_PALLAS
