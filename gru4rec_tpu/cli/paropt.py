@@ -155,10 +155,13 @@ def main(argv=None):
             return run_once(args, pstr)
 
         # crashed runs resume from the same storage (SURVEY.md §5: paropt
-        # trials as isolated processes, resumable Optuna storage)
+        # trials as isolated processes, resumable Optuna storage); a stable
+        # default study name — optuna otherwise auto-generates a fresh one
+        # per invocation, which would silently defeat load_if_exists
+        study_name = args.study_name or ("gru4rec_paropt" if args.storage else None)
         study = optuna.create_study(
             direction="maximize", storage=args.storage,
-            study_name=args.study_name, load_if_exists=args.storage is not None,
+            study_name=study_name, load_if_exists=args.storage is not None,
         )
         done = len([t for t in study.trials
                     if t.state == optuna.trial.TrialState.COMPLETE])

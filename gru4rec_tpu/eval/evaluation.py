@@ -97,7 +97,24 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                     ) * 1e-10
                 target = yhat[jnp.arange(b), jnp.arange(b)]
                 others = yhat[:, b:]
+                # The reference's subset path drops the target's
+                # self-comparison (evaluation.py:59-60), which makes its
+                # 'conservative' mode yield rank 0 (-> inf MRR) whenever the
+                # target outscores the whole subset, and its 'median' mode
+                # subtract a self-tie that is not there. We count the self
+                # exactly once, matching full-catalog semantics: when the
+                # target item is NOT among the subset columns, conservative
+                # ranks shift by +1 and median by +0.5 — a deliberate
+                # divergence (SURVEY.md §7 quirks).
+                self_adj = 0.0
+                if tie_mode in ("conservative", "median"):
+                    out_v = jnp.where(valid, out_idx, -1)
+                    in_sub = jnp.any(item_idx[None, :] == out_v[:, None], axis=1)
+                    self_adj = jnp.where(
+                        in_sub, 0.0, 1.0 if tie_mode == "conservative" else 0.5
+                    )
             else:
+                self_adj = 0.0  # full catalog: self-comparison is in `others`
                 H_new, yhat = gru.forward(
                     params, srows, list(H), cfg, M=batch_size, training=False,
                     full_catalog=True, item_valid=item_valid,
@@ -111,7 +128,7 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                 target = yhat[jnp.arange(b), jnp.where(valid, out_idx, 0)]
                 others = yhat
 
-            ranks = compute_ranks(others, target, tie_mode)
+            ranks = compute_ranks(others, target, tie_mode) + self_adj
 
             vf = valid.astype(jnp.float32)
             for k, c in enumerate(cutoffs):
@@ -175,14 +192,15 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
 
     C = cfg.chunk_size
     T = sched.n_steps
+    # pad the TAIL chunk to a multiple of min(64, C) steps, not all the way
+    # to C: short eval sets would otherwise burn up to C-1 fully-masked steps
+    # (a 60k-event eval at batch 512 is ~110 real steps — padding to 512 was
+    # 4.6x wasted device time). Full-size chunks are untouched, and each
+    # distinct padded length compiles once (at most C/64 variants).
+    quantum = min(64, C)
     for t0 in range(0, T, C):
         t1 = min(t0 + C, T)
-        # pad the tail chunk to a multiple of 64 steps, not all the way to C:
-        # short eval sets would otherwise burn up to C-1 fully-masked steps
-        # (a 60k-event eval at batch 512 is ~110 real steps — padding to 512
-        # was 4.6x wasted device time). Each distinct padded length compiles
-        # once; there are at most C/64 variants.
-        pad = -(t1 - t0) % 64
+        pad = -(t1 - t0) % quantum
         sl = lambda a: np.pad(a[t0:t1], ((0, pad), (0, 0)))
         args = (
             jnp.asarray(sl(sched.in_idx)),

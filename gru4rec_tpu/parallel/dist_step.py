@@ -226,8 +226,12 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
                     table = new_params["Wx"][0]
                 else:
                     table = new_params[name]
+                # allow_kernel=False: on a model-sharded table only the LAST
+                # shard ends in padding rows, so the grouped Pallas kernel's
+                # dummy-group precondition does not hold shard-locally
                 table, new_sparse_state[name] = opt.apply_sparse(
-                    table, idx_l, g, opt_state["sparse"][name]
+                    table, idx_l, g, opt_state["sparse"][name],
+                    allow_kernel=False,
                 )
                 if name == "Wx0":
                     new_params["Wx"] = [table] + list(new_params["Wx"][1:])

@@ -44,8 +44,11 @@ def init_distributed(coordinator_address=None, num_processes=None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already initialized
-        if "already initialized" not in str(e):
+    except RuntimeError as e:
+        # already-initialized messages vary across jax versions
+        # ("already initialized", "should only be called once.")
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 

@@ -210,6 +210,11 @@ class Optimizer:
     def _use_fused_kernel(self, table, st) -> bool:
         if self.adapt != "adagrad" or table.ndim != 2:
             return False
+        # the grouped kernel needs 8-row-aligned tables and a final all-
+        # padding group (guaranteed by models/gru.py pad_items for whole
+        # tables; NOT guaranteed for arbitrary shards)
+        if table.shape[0] % 8:
+            return False
         # adagrad's accumulator always matches the param dtype (init_state);
         # a mismatch means an exotic hand-built state — take the XLA path.
         # Narrow (bf16) velocity is handled natively by the kernel.
@@ -222,13 +227,16 @@ class Optimizer:
 
         return table.shape[0] >= PALLAS_MIN_ROWS and _kernels_available()
 
-    def apply_sparse(self, table, idx, g, st, key=None):
+    def apply_sparse(self, table, idx, g, st, key=None, allow_kernel=True):
         """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``.
 
         ``key`` is accepted for API stability (rounding-dither hook) and
-        currently unused."""
+        currently unused. ``allow_kernel=False`` forces the XLA path — the
+        grouped Pallas kernel requires the table's LAST 8-row group to be all
+        padding (models/gru.py pad_items), which does not hold for arbitrary
+        row-shards of a table (parallel/dist_step.py)."""
         uidx, g = dedup_rows(idx, g)
-        if self._use_fused_kernel(table, st):
+        if allow_kernel and self._use_fused_kernel(table, st):
             import jax
 
             from gru4rec_tpu.ops.kernels.sparse_update import (

@@ -115,14 +115,23 @@ def test_item_subset_evaluation_and_prediction(trained):
     items_all = [f"item_{i}" for i in range(30)]
 
     # subset containing the whole vocabulary must match full-catalog results
-    rec_full, mrr_full = evaluate(m, test, cut_off=[5], batch_size=16)
-    rec_all, mrr_all = evaluate(m, test, items=items_all, cut_off=[5], batch_size=16)
-    assert abs(rec_full[0] - rec_all[0]) < 1e-6
-    assert abs(mrr_full[0] - mrr_all[0]) < 1e-6
+    # in every tie mode (subset ranks include the target's self-comparison,
+    # unlike the reference's subset path — see eval/evaluation.py)
+    for tie_mode in ("standard", "conservative", "median"):
+        rec_full, mrr_full = evaluate(m, test, cut_off=[5], batch_size=16,
+                                      mode=tie_mode)
+        rec_all, mrr_all = evaluate(m, test, items=items_all, cut_off=[5],
+                                    batch_size=16, mode=tie_mode)
+        assert abs(rec_full[0] - rec_all[0]) < 1e-6, tie_mode
+        assert abs(mrr_full[0] - mrr_all[0]) < 1e-6, tie_mode
 
-    # a smaller competitor pool can only improve the target's rank
-    rec_sub, _ = evaluate(m, test, items=items_all[:10], cut_off=[5], batch_size=16)
+    # a smaller competitor pool can only improve the target's rank, and a
+    # target that beats the whole subset must rank 1, never 0 (finite MRR)
+    rec_full, _ = evaluate(m, test, cut_off=[5], batch_size=16)
+    rec_sub, mrr_sub = evaluate(m, test, items=items_all[:10], cut_off=[5],
+                                batch_size=16, mode="conservative")
     assert rec_sub[0] >= rec_full[0] - 1e-6
+    assert np.isfinite(mrr_sub[0]) and mrr_sub[0] <= 1.0 + 1e-6
 
     # predict_next_batch with predict_for_item_ids returns only those rows
     preds = m.predict_next_batch(
