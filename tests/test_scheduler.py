@@ -142,3 +142,21 @@ def test_dispatch_wrapper():
     s2 = _build_schedule_numpy(items, offsets, np.arange(12), 4, False)
     assert (s1.in_idx == s2.in_idx).all()
     assert (s1.valid == s2.valid).all()
+
+
+def test_session_order_time_sort():
+    """time_sort orders sessions by first-event timestamp (gru4rec.py:585);
+    time_sort=False keeps session-key order."""
+    import pandas as pd
+    from gru4rec_tpu.data.scheduler import session_order
+
+    # session 0 starts at t=50, session 1 at t=10, session 2 at t=30
+    df = pd.DataFrame({
+        "SessionId": [0, 0, 1, 1, 2, 2],
+        "ItemId": list("abcdef"),
+        "Time": [50, 51, 10, 11, 30, 31],
+    })
+    order = session_order(df, "SessionId", "Time", time_sort=True, n_sessions=3)
+    assert list(order) == [1, 2, 0]
+    order = session_order(df, "SessionId", "Time", time_sort=False, n_sessions=3)
+    assert list(order) == [0, 1, 2]
