@@ -137,3 +137,41 @@ def test_bpr_baseline_learns():
     r_bpr, _ = evaluate_sessions(bpr, markov_df(20, seed=6), train, cut_off=10)
     r_rnd, _ = evaluate_sessions(rnd, markov_df(20, seed=6), train, cut_off=10)
     assert r_bpr > r_rnd
+
+
+def test_cli_param_file(tsv_files, tmp_path):
+    """-pf loads an OrderedDict param-file module (reference run.py:88-95)."""
+    train_p, test_p, _ = tsv_files
+    pf = tmp_path / "tiny_best.py"
+    pf.write_text(
+        "from collections import OrderedDict\n"
+        "gru4rec_params = OrderedDict([\n"
+        "    ('loss', 'bpr-max'), ('final_act', 'elu-1'), ('layers', [16]),\n"
+        "    ('batch_size', 8), ('n_sample', 16), ('n_epochs', 2),\n"
+        "    ('chunk_size', 64), ('item_pad_multiple', 32),\n"
+        "    ('learning_rate', 0.1), ('momentum', 0.1),\n"
+        "])\n"
+    )
+    res = run_cli([train_p, "-pf", str(pf), "-t", test_p, "-m", "5", "-d", "cpu"])
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "Recall@5:" in res.stdout
+
+
+def test_shipped_paramfiles_parse():
+    """Every shipped best-config / sample-config file must load into a valid
+    GRU4RecConfig (these are what users will pass to -pf)."""
+    import glob
+    import os
+
+    from gru4rec_tpu.config import GRU4RecConfig
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = sorted(
+        glob.glob(os.path.join(root, "paramfiles", "*.py"))
+        + glob.glob(os.path.join(root, "param_samples", "*.py"))
+    )
+    assert len(files) >= 11
+    for f in files:
+        cfg = GRU4RecConfig.from_parameter_file(f)
+        assert cfg.loss in ("cross-entropy", "bpr-max"), f
+        assert cfg.n_sample == 2048, f
