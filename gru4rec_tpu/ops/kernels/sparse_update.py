@@ -62,43 +62,49 @@ def _kernels_available() -> bool:
         return False
 
 
-def group_pack(uidx, g, n_rows):
-    """Bucket deduped rows by 8-row group and pack gradients group-aligned.
+def group_pack(idx, g, n_rows):
+    """Sort raw (possibly duplicated / sentinel-masked) scatter indices,
+    bucket them by 8-row group, and pack gradients group-aligned — with the
+    duplicate-index summing folded into the packing scatter, so the kernel
+    path never needs a separate segment-sum or deduped index vector.
 
-    ``uidx`` is sorted-ascending distinct row ids with an int32-max sentinel
-    tail (train/optimizers.py dedup_rows); members of one group are therefore
-    consecutive. Returns:
+    Returns:
 
     * ``gblk``  (K,) int32 — per grid step, the 8-row block id to update;
       padded steps point at the dummy group ``n_rows//8 - 1`` (all padding
       rows by pad_items' >= 8 spare-row guarantee);
     * ``mask``  (K,) int32 — per grid step, bit ``b`` set iff sublane ``b``
       is a real member (only consumed by the momentum/L2 kernel variants);
-    * ``gpad``  (8K, d) — gradient rows scattered to slot
-      ``8*group_slot + (row & 7)``; all other slots zero.
+    * ``gpad``  (8K, d) — gradient rows scatter-ADDED to slot
+      ``8*group_slot + (row & 7)`` (duplicate occurrences of a row share a
+      slot and sum — the dedup semantics); all other slots zero.
     """
-    K = uidx.shape[0]
+    K = idx.shape[0]
     d = g.shape[-1]
     dummy_blk = n_rows // 8 - 1
-    valid = uidx < n_rows
-    gid = jnp.where(valid, uidx >> 3, jnp.int32(np.iinfo(np.int32).max))
-    head = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
-    gslot = jnp.cumsum(head.astype(jnp.int32)) - 1  # group slot per member
+    ar = jnp.arange(K, dtype=jnp.int32)
+    sidx, order = jax.lax.sort((idx.astype(jnp.int32), ar), num_keys=1)
+    sg = jnp.take(g, order, axis=0)
+    valid = sidx < n_rows
+    gid = jnp.where(valid, sidx >> 3, jnp.int32(np.iinfo(np.int32).max))
+    ghead = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
+    gslot = jnp.cumsum(ghead.astype(jnp.int32)) - 1  # group slot per occurrence
 
     gblk = jnp.full((K,), -1, jnp.int32)
     gblk = gblk.at[gslot].max(jnp.where(valid, gid, -1))
     gblk = jnp.where(gblk < 0, dummy_blk, gblk)
 
-    sub = (uidx & 7).astype(jnp.int32)
-    bits = jnp.where(valid, jnp.int32(1) << sub, 0)
+    sub = (sidx & 7).astype(jnp.int32)
+    # membership bit once per distinct row (first occurrence only)
+    head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    bits = jnp.where(valid & head, jnp.int32(1) << sub, 0)
     mask = jnp.zeros((K,), jnp.int32).at[gslot].add(bits)
 
-    # slot of each member in the packed gradient buffer; invalid members go
-    # to a trash slot past the end (dropped)
+    # slots ascend with the sorted occurrences; duplicates share a slot
     slot = jnp.where(valid, 8 * gslot + sub, 8 * K)
-    src = jnp.full((8 * K,), K, jnp.int32)  # K = out-of-range -> fill 0
-    src = src.at[slot].set(jnp.arange(K, dtype=jnp.int32), mode="drop")
-    gpad = g.at[src].get(mode="fill", fill_value=0.0)
+    gpad = jnp.zeros((8 * K, d), g.dtype).at[slot].add(
+        sg, mode="drop", indices_are_sorted=True
+    )
     return gblk, mask, gpad
 
 

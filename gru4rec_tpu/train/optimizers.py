@@ -235,7 +235,6 @@ class Optimizer:
         grouped Pallas kernel requires the table's LAST 8-row group to be all
         padding (models/gru.py pad_items), which does not hold for arbitrary
         row-shards of a table (parallel/dist_step.py)."""
-        uidx, g = dedup_rows(idx, g)
         if allow_kernel and self._use_fused_kernel(table, st):
             import jax
 
@@ -243,7 +242,9 @@ class Optimizer:
                 fused_adagrad_update, group_pack)
 
             interpret = jax.default_backend() != "tpu"
-            gblk, mask, gpad = group_pack(uidx, g, table.shape[0])
+            # group_pack folds the duplicate-index summing into its packing
+            # scatter, so the kernel path skips dedup_rows entirely
+            gblk, mask, gpad = group_pack(idx, g, table.shape[0])
             table, acc, vel = fused_adagrad_update(
                 table, st["acc"], st.get("velocity"), gblk, mask, gpad,
                 lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
@@ -253,6 +254,7 @@ class Optimizer:
             if vel is not None:
                 st["velocity"] = vel
             return table, st
+        uidx, g = dedup_rows(idx, g)
         g, st = self._adapt_sparse(uidx, g, st)
         if self.lmbd > 0:
             rows = _take_rows(table, uidx)
