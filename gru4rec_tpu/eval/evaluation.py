@@ -146,12 +146,140 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
     return jax.jit(chunk_fn, donate_argnums=(1, 6, 7, 8), static_argnames=())
 
 
+def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
+                            cutoffs: Sequence[int], tie_mode: str,
+                            batch_size: int, mesh):
+    """Multi-chip full-catalog evaluation (SURVEY.md §2.10: sharded matmul
+    over the row-sharded item table). Rank-based Recall/MRR distributes
+    without any top-k: each model shard counts how many of ITS items outscore
+    the target and the counts are ``psum``-med — lanes shard over ``data``,
+    ``Wy`` rows over ``model``, exactly the training layout, so a trained
+    sharded model can be evaluated without gathering the table to one chip.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    import dataclasses
+
+    if tie_mode not in TIE_MODES:
+        raise NotImplementedError(f"Unknown tie mode: {tie_mode!r}")
+    mode_in = gru.input_mode(cfg)
+    cutoffs = tuple(int(c) for c in cutoffs)
+    nd = mesh.shape["data"]
+    if batch_size % nd:
+        raise ValueError(f"batch_size {batch_size} must divide over data axis {nd}")
+    # Rank on PRE-activation scores: shard-local softmax normalization is not
+    # comparable across shards, and every final activation is monotone per
+    # element, so ranks are unchanged. (Caveat: activations that CREATE ties,
+    # e.g. relu clamping negatives, tie differently than the single-chip
+    # evaluator under the conservative/median modes.)
+    cfg = dataclasses.replace(cfg, final_act="linear")
+
+    def chunk_body(params, H, in_c, out_c, valid_c, reset_c, rec, mrr, n, key,
+                   step):
+        rows_local = params["Wy"].shape[0]
+        mi = jax.lax.axis_index("model")
+        r0 = mi * rows_local
+        # global ids of this shard's rows; padding rows masked out
+        col_ids = r0 + jnp.arange(rows_local)
+        col_valid = col_ids < n_items
+
+        def gather_rows(shard, idx):
+            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
+                            rows_local)
+            rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
+            return jax.lax.psum(rows, "model")
+
+        def step_fn(carry, xs):
+            H, rec, mrr, n, step = carry
+            in_idx, out_idx, valid, reset = xs
+            H = tuple(jnp.where(reset[:, None], 0.0, h) for h in H)
+            Xg = jnp.where(valid, in_idx, 0)
+            if mode_in == "constrained":
+                srows = {"WyS": gather_rows(params["Wy"], Xg)}
+            elif mode_in == "embedding":
+                srows = {"E": gather_rows(params["E"], Xg)}
+            else:
+                srows = {"Wx0": gather_rows(params["Wx"][0], Xg)}
+            b = Xg.shape[0]
+            # forward up to the hidden state; score against the LOCAL shard
+            H_new, scores = gru.forward(
+                params, srows, list(H), cfg, M=b, training=False,
+                full_catalog=True, item_valid=col_valid,
+            )
+            scores = jnp.where(col_valid, scores, -jnp.inf)
+            if tie_mode == "tiebreaking":
+                nkey = jax.random.fold_in(jax.random.fold_in(key, step), mi)
+                scores = scores + jax.random.uniform(nkey, scores.shape) * 1e-10
+            out_v = jnp.where(valid, out_idx, 0)
+            t_local = jnp.where(
+                (out_v >= r0) & (out_v < r0 + rows_local),
+                scores[jnp.arange(b), jnp.clip(out_v - r0, 0, rows_local - 1)],
+                0.0,
+            )
+            target = jax.lax.psum(t_local, "model")
+            t = target[:, None]
+            gt = jax.lax.psum(jnp.sum((scores > t) & col_valid, axis=1), "model")
+            if tie_mode == "conservative":
+                ge = jax.lax.psum(
+                    jnp.sum((scores >= t) & col_valid, axis=1), "model")
+                ranks = ge.astype(jnp.float32)
+            elif tie_mode == "median":
+                eq = jax.lax.psum(
+                    jnp.sum((scores == t) & col_valid, axis=1), "model")
+                ranks = (gt + 0.5 * (eq - 1) + 1).astype(jnp.float32)
+            else:
+                ranks = (gt + 1).astype(jnp.float32)
+            vf = valid.astype(jnp.float32)
+            for k, c in enumerate(cutoffs):
+                hit = (ranks <= c).astype(jnp.float32) * vf
+                rec = rec.at[k].add(jnp.sum(hit))
+                mrr = mrr.at[k].add(jnp.sum(hit / ranks))
+            n = n + jnp.sum(vf)
+            H_out = tuple(
+                jnp.where(valid[:, None], hn, ho) for hn, ho in zip(H_new, H))
+            return (H_out, rec, mrr, n, step + 1), None
+
+        # accumulate this chunk's contribution from zero, then add the
+        # replicated running totals once — psum-ing the (replicated) inputs
+        # would count them data-axis times
+        zero = jnp.zeros_like(rec)
+        carry = (H, zero, zero, jnp.zeros_like(n), step)
+        (H, d_rec, d_mrr, d_n, step), _ = jax.lax.scan(
+            step_fn, carry, (in_c, out_c, valid_c, reset_c))
+        rec = rec + jax.lax.psum(d_rec, "data")
+        mrr = mrr + jax.lax.psum(d_mrr, "data")
+        n = n + jax.lax.psum(d_n, "data")
+        return H, rec, mrr, n, step
+
+    h_spec = tuple(P("data", None) for _ in cfg.layers)
+    sched_spec = P(None, "data")
+    from gru4rec_tpu.parallel.mesh import param_pspecs
+
+    pspec = param_pspecs(
+        {"Wx": [None] * len(cfg.layers), "Wh": [None] * len(cfg.layers),
+         "Wrz": [None] * len(cfg.layers), "Bh": [None] * len(cfg.layers),
+         "Wy": None, **({"E": None} if mode_in == "embedding" else {})},
+        mode_in,
+    )
+    in_specs = (pspec, h_spec, sched_spec, sched_spec, sched_spec, sched_spec,
+                P(None), P(None), P(), P(), P())
+    out_specs = (h_spec, P(None), P(None), P(), P())
+    body = jax.shard_map(chunk_body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    return jax.jit(body, donate_argnums=(1, 6, 7, 8))
+
+
 def evaluate(gru_model, test_data, items=None, session_key="SessionId",
              item_key="ItemId", time_key="Time", cut_off=[20], batch_size=100,
-             mode="standard"):
+             mode="standard", mesh=None):
     """Measure Recall@N and MRR@N of a trained model (reference: evaluate_gpu,
     evaluation.py:15-147). Returns ``(recall_list, mrr_list)``; scalars are
-    returned as one-element lists to match multi-cutoff handling."""
+    returned as one-element lists to match multi-cutoff handling.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with ``data``/``model`` axes) evaluates
+    multi-chip: lanes shard over ``data``, the item table over ``model`` —
+    the full catalog never needs to fit one chip (see
+    make_dist_eval_chunk_fn). Not combinable with ``items``."""
     if gru_model.error_during_train:
         raise Exception("Training ended with an error; model is unusable.")
     multi = isinstance(cut_off, (list, tuple))
@@ -178,11 +306,28 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
     item_idx = None
     items_subset = items is not None
     if items_subset:
+        if mesh is not None:
+            raise NotImplementedError("item-subset evaluation is single-chip")
         item_idx = jnp.asarray(itemidmap[items].values.astype(np.int32))
 
-    chunk_fn = _cached_eval_chunk_fn(
-        cfg, gru_model.n_items, cutoffs, mode, batch_size, items_subset
-    )
+    dist_params = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gru4rec_tpu.parallel.mesh import param_pspecs
+
+        chunk_fn = make_dist_eval_chunk_fn(
+            cfg, gru_model.n_items, cutoffs, mode, batch_size, mesh
+        )
+        mode_in = gru.input_mode(cfg)
+        pspec = param_pspecs(gru_model.params, mode_in)
+        put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        dist_params = jax.tree_util.tree_map(put, dict(gru_model.params), pspec)
+        sched_shard = NamedSharding(mesh, P(None, "data"))
+    else:
+        chunk_fn = _cached_eval_chunk_fn(
+            cfg, gru_model.n_items, cutoffs, mode, batch_size, items_subset
+        )
     H = tuple(gru.init_hidden(cfg, batch_size))
     rec = jnp.zeros((len(cutoffs),), jnp.float32)
     mrr = jnp.zeros((len(cutoffs),), jnp.float32)
@@ -208,7 +353,12 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
             jnp.asarray(sl(sched.valid)),
             jnp.asarray(sl(sched.reset)),
         )
-        if items_subset:
+        if mesh is not None:
+            args = tuple(jax.device_put(a, sched_shard) for a in args)
+            H, rec, mrr, n, step = chunk_fn(
+                dist_params, H, *args, rec, mrr, n, key, step
+            )
+        elif items_subset:
             H, rec, mrr, n, step = chunk_fn(
                 gru_model.params, H, *args, rec, mrr, n, key, step, item_idx
             )

@@ -146,3 +146,39 @@ def test_fit_with_mesh_end_to_end():
     rec_s, _ = evaluate(m_single, data, cut_off=[1], batch_size=8)
     np.testing.assert_allclose(rec_d, rec_s, atol=0.02)
     assert rec_d[0] > 0.8
+
+
+def test_distributed_evaluation_matches_single_chip():
+    """evaluate(mesh=...) — lanes over data, catalog rows over model — must
+    reproduce single-chip metrics (rank-based eval distributes as psums of
+    per-shard greater-than counts; no top-k needed)."""
+    import pandas as pd
+
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+    from gru4rec_tpu.eval import evaluate
+
+    rng = np.random.RandomState(3)
+    rows, t = [], 0
+    for s in range(200):
+        i = rng.randint(40)
+        for _ in range(rng.randint(3, 7)):
+            rows.append((s, f"it{i}", t)); t += 1; i = (11 * i + 5) % 40
+    data = pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+    test = data[data.SessionId >= 160].copy()
+    train = data[data.SessionId < 160]
+
+    m = GRU4Rec(GRU4RecConfig(
+        loss="bpr-max", final_act="elu-1", layers=[16], batch_size=8,
+        n_sample=16, n_epochs=3, chunk_size=32, item_pad_multiple=32,
+        compute_dtype="float32",  # shard-blocked bf16 matmuls round differently
+    ))
+    m.fit(train)
+
+    mesh = make_mesh(2, 4)
+    for tie_mode in ("standard", "conservative", "median"):
+        rec_s, mrr_s = evaluate(m, test, cut_off=[1, 5], batch_size=8,
+                                mode=tie_mode)
+        rec_d, mrr_d = evaluate(m, test, cut_off=[1, 5], batch_size=8,
+                                mode=tie_mode, mesh=mesh)
+        np.testing.assert_allclose(rec_d, rec_s, atol=1e-6, err_msg=tie_mode)
+        np.testing.assert_allclose(mrr_d, mrr_s, atol=1e-6, err_msg=tie_mode)
