@@ -94,8 +94,13 @@ def generate_command(args, optimized_param_str, measure, log_pm=True):
 def run_once(args, optimized_param_str):
     """Spawn one isolated trial; scrape PRIMARY METRIC from its stdout."""
     cmd = generate_command(args, optimized_param_str, args.measure)
+    env = os.environ.copy()
+    for pair in (getattr(args, "flags", "") or "").split(";"):
+        if pair.strip():
+            name, _, value = pair.partition("=")
+            env[name.strip()] = value.strip()
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                            text=True, env=os.environ.copy())
+                            text=True, env=env)
     val = None
     for line in proc.stdout:
         line = line.rstrip()
@@ -115,6 +120,12 @@ def main(argv=None):
     parser.add_argument("path", metavar="PATH", type=str)
     parser.add_argument("test", metavar="TEST_PATH", type=str)
     parser.add_argument("-g", "--gru4rec_model", type=str, default="gru4rec_tpu")
+    parser.add_argument("-tf", "--flags", metavar="FLAGS", type=str, default="",
+                        help="Environment settings for the trial subprocesses as "
+                             "`NAME=value` pairs separated by `;` (the TPU-native "
+                             "equivalent of the reference's THEANO_FLAGS "
+                             "passthrough, paropt.py:20,46 — e.g. "
+                             "'JAX_PLATFORMS=cpu' or per-trial device pinning).")
     parser.add_argument("-fp", "--fixed_parameters", metavar="PARAM_STRING", type=str, default="")
     parser.add_argument("-opf", "--optuna_parameter_file", metavar="PATH", type=str, required=True)
     parser.add_argument("-m", "--measure", metavar="AT", type=int, nargs="?", default=20)

@@ -175,3 +175,31 @@ def test_shipped_paramfiles_parse():
         cfg = GRU4RecConfig.from_parameter_file(f)
         assert cfg.loss in ("cross-entropy", "bpr-max"), f
         assert cfg.n_sample == 2048, f
+
+
+def test_paropt_random_search_end_to_end(tsv_files, tmp_path):
+    """paropt without optuna: random-search fallback over a JSONL space,
+    process-isolated trials, -tf env passthrough, final re-eval."""
+    import subprocess
+    import sys
+
+    train_p, test_p, _ = tsv_files
+    space = tmp_path / "space.json"
+    space.write_text(
+        '{"name": "learning_rate", "dtype": "float", "values": [0.05, 0.2], "log": true}\n'
+        '{"name": "layers", "dtype": "categorical", "values": [16]}\n'
+    )
+    res = subprocess.run(
+        [sys.executable, "-m", "gru4rec_tpu.cli.paropt", train_p, test_p,
+         "-fp", "loss=bpr-max,final_act=elu-1,batch_size=8,n_sample=16,"
+                "n_epochs=1,chunk_size=64,item_pad_multiple=32",
+         "-opf", str(space), "-nt", "2", "-m", "5", "-fm", "5",
+         "-tf", "GRU4REC_TPU_TEST_PLATFORM=cpu"],
+        capture_output=True, text=True, timeout=560,
+        env={**__import__("os").environ, "GRU4REC_TPU_TEST_PLATFORM": "cpu",
+             "JAX_PLATFORMS": "cpu"},
+        cwd=__import__("os").path.join(__import__("os").path.dirname(__file__), ".."),
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert res.stdout.count("PRIMARY METRIC:") == 2
+    assert "Best parameters:" in res.stdout
