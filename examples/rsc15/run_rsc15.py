@@ -11,10 +11,14 @@ to a few percent", README.md:359):
 Usage: python run_rsc15.py <rsc15_train_full.txt> <rsc15_test.txt>
 """
 
+import os
 import sys
 
 import pandas as pd
 
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+)
 from gru4rec_tpu import GRU4Rec
 from gru4rec_tpu.eval import evaluate
 
