@@ -56,7 +56,7 @@ def main():
         cfg = GRU4RecConfig(
             loss="bpr-max", final_act="elu-0.5", layers=[224], batch_size=B,
             n_sample=2048, sample_alpha=0.4, bpreg=1.95, learning_rate=0.05,
-            momentum=0.4, constrained_embedding=True, n_epochs=1, chunk_size=256,
+            momentum=0.4, constrained_embedding=True, n_epochs=3, chunk_size=256,
         )
         model = GRU4Rec(cfg)
         mesh = make_mesh(d, 1) if d > 1 else None

@@ -91,16 +91,22 @@ def generate_command(args, optimized_param_str, measure, log_pm=True):
     return cmd
 
 
-def run_once(args, optimized_param_str):
-    """Spawn one isolated trial; scrape PRIMARY METRIC from its stdout."""
-    cmd = generate_command(args, optimized_param_str, args.measure)
+def trial_env(args):
+    """os.environ plus the -tf NAME=value overrides, applied to EVERY child
+    process (trials and the final best-params re-evaluation alike)."""
     env = os.environ.copy()
     for pair in (getattr(args, "flags", "") or "").split(";"):
         if pair.strip():
             name, _, value = pair.partition("=")
             env[name.strip()] = value.strip()
+    return env
+
+
+def run_once(args, optimized_param_str):
+    """Spawn one isolated trial; scrape PRIMARY METRIC from its stdout."""
+    cmd = generate_command(args, optimized_param_str, args.measure)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                            text=True, env=env)
+                            text=True, env=trial_env(args))
     val = None
     for line in proc.stdout:
         line = line.rstrip()
@@ -195,7 +201,7 @@ def main(argv=None):
     print(f"Running final eval @{args.final_measure}:")
     pstr = ",".join(f"{k}={v}" for k, v in best_params.items())
     cmd = generate_command(args, pstr, list(args.final_measure), log_pm=False)
-    subprocess.run(cmd)
+    subprocess.run(cmd, env=trial_env(args))
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ import pandas as pd
 from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.data.scheduler import build_schedule
 from gru4rec_tpu.models import gru
-from gru4rec_tpu.ops.ranking import TIE_MODES, compute_ranks
+from gru4rec_tpu.ops.ranking import TIE_MODES, compute_ranks, ranks_from_counts
 
 
 # Compiled-evaluator cache: make_eval_chunk_fn returns a fresh jax.jit
@@ -54,6 +54,24 @@ def _cached_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
     if fn is None:
         fn = make_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
                                 items_subset)
+        _CHUNK_FN_CACHE[key] = fn
+    return fn
+
+
+def _cached_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
+                               mesh):
+    import json
+
+    key = (
+        "dist", json.dumps(cfg.to_dict(), sort_keys=True, default=str),
+        n_items, tuple(int(c) for c in cutoffs), tie_mode, int(batch_size),
+        tuple(mesh.shape.items()),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+    fn = _CHUNK_FN_CACHE.get(key)
+    if fn is None:
+        fn = make_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode,
+                                     batch_size, mesh)
         _CHUNK_FN_CACHE[key] = fn
     return fn
 
@@ -167,6 +185,13 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
     nd = mesh.shape["data"]
     if batch_size % nd:
         raise ValueError(f"batch_size {batch_size} must divide over data axis {nd}")
+    nm = mesh.shape["model"]
+    n_pad = gru.pad_items(n_items, cfg.item_pad_multiple)
+    if n_pad % nm:
+        raise ValueError(
+            f"padded item count {n_pad} must divide over model axis {nm}; "
+            f"adjust item_pad_multiple or the mesh shape"
+        )
     # Rank on PRE-activation scores: shard-local softmax normalization is not
     # comparable across shards, and every final activation is monotone per
     # element, so ranks are unchanged. (Caveat: activations that CREATE ties,
@@ -208,8 +233,15 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
             )
             scores = jnp.where(col_valid, scores, -jnp.inf)
             if tie_mode == "tiebreaking":
+                # RELATIVE dither: these are pre-activation logits of O(1)
+                # magnitude, where an absolute 1e-10 (the single-chip path's
+                # post-activation constant) is below one f32 ULP and would
+                # round away, silently degrading to 'standard'
                 nkey = jax.random.fold_in(jax.random.fold_in(key, step), mi)
-                scores = scores + jax.random.uniform(nkey, scores.shape) * 1e-10
+                u = jax.random.uniform(nkey, scores.shape)
+                noise = u * (jnp.abs(scores) * 1e-6 + 1e-12)
+                # padding columns hold -inf: |.|*eps would be inf -> NaN
+                scores = scores + jnp.where(col_valid, noise, 0.0)
             out_v = jnp.where(valid, out_idx, 0)
             t_local = jnp.where(
                 (out_v >= r0) & (out_v < r0 + rows_local),
@@ -219,16 +251,14 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
             target = jax.lax.psum(t_local, "model")
             t = target[:, None]
             gt = jax.lax.psum(jnp.sum((scores > t) & col_valid, axis=1), "model")
+            second = None
             if tie_mode == "conservative":
-                ge = jax.lax.psum(
+                second = jax.lax.psum(
                     jnp.sum((scores >= t) & col_valid, axis=1), "model")
-                ranks = ge.astype(jnp.float32)
             elif tie_mode == "median":
-                eq = jax.lax.psum(
+                second = jax.lax.psum(
                     jnp.sum((scores == t) & col_valid, axis=1), "model")
-                ranks = (gt + 0.5 * (eq - 1) + 1).astype(jnp.float32)
-            else:
-                ranks = (gt + 1).astype(jnp.float32)
+            ranks = ranks_from_counts(gt, second, tie_mode)
             vf = valid.astype(jnp.float32)
             for k, c in enumerate(cutoffs):
                 hit = (ranks <= c).astype(jnp.float32) * vf
@@ -316,7 +346,7 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
 
         from gru4rec_tpu.parallel.mesh import param_pspecs
 
-        chunk_fn = make_dist_eval_chunk_fn(
+        chunk_fn = _cached_dist_eval_chunk_fn(
             cfg, gru_model.n_items, cutoffs, mode, batch_size, mesh
         )
         mode_in = gru.input_mode(cfg)
@@ -347,22 +377,22 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
         t1 = min(t0 + C, T)
         pad = -(t1 - t0) % quantum
         sl = lambda a: np.pad(a[t0:t1], ((0, pad), (0, 0)))
-        args = (
-            jnp.asarray(sl(sched.in_idx)),
-            jnp.asarray(sl(sched.out_idx)),
-            jnp.asarray(sl(sched.valid)),
-            jnp.asarray(sl(sched.reset)),
-        )
+        raw = (sl(sched.in_idx), sl(sched.out_idx), sl(sched.valid),
+               sl(sched.reset))
         if mesh is not None:
-            args = tuple(jax.device_put(a, sched_shard) for a in args)
+            # one host->sharded transfer (an intermediate jnp.asarray would
+            # land on the default device first and reshard from there)
+            args = tuple(jax.device_put(a, sched_shard) for a in raw)
             H, rec, mrr, n, step = chunk_fn(
                 dist_params, H, *args, rec, mrr, n, key, step
             )
         elif items_subset:
+            args = tuple(jnp.asarray(a) for a in raw)
             H, rec, mrr, n, step = chunk_fn(
                 gru_model.params, H, *args, rec, mrr, n, key, step, item_idx
             )
         else:
+            args = tuple(jnp.asarray(a) for a in raw)
             H, rec, mrr, n, step = chunk_fn(
                 gru_model.params, H, *args, rec, mrr, n, key, step
             )

@@ -180,6 +180,7 @@ def test_shipped_paramfiles_parse():
 def test_paropt_random_search_end_to_end(tsv_files, tmp_path):
     """paropt without optuna: random-search fallback over a JSONL space,
     process-isolated trials, -tf env passthrough, final re-eval."""
+    import json
     import subprocess
     import sys
 
@@ -189,12 +190,16 @@ def test_paropt_random_search_end_to_end(tsv_files, tmp_path):
         '{"name": "learning_rate", "dtype": "float", "values": [0.05, 0.2], "log": true}\n'
         '{"name": "layers", "dtype": "categorical", "values": [16]}\n'
     )
+    trial_log = tmp_path / "trials.jsonl"
     res = subprocess.run(
         [sys.executable, "-m", "gru4rec_tpu.cli.paropt", train_p, test_p,
          "-fp", "loss=bpr-max,final_act=elu-1,batch_size=8,n_sample=16,"
                 "n_epochs=1,chunk_size=64,item_pad_multiple=32",
          "-opf", str(space), "-nt", "2", "-m", "5", "-fm", "5",
-         "-tf", "GRU4REC_TPU_TEST_PLATFORM=cpu"],
+         # the passthrough must reach the children: the JSONL sink is only
+         # ever read from the environment, so epoch events in trial_log
+         # prove -tf took effect
+         "-tf", f"GRU4REC_TPU_LOG_JSONL={trial_log}"],
         capture_output=True, text=True, timeout=560,
         env={**__import__("os").environ, "GRU4REC_TPU_TEST_PLATFORM": "cpu",
              "JAX_PLATFORMS": "cpu"},
@@ -203,3 +208,6 @@ def test_paropt_random_search_end_to_end(tsv_files, tmp_path):
     assert res.returncode == 0, res.stdout + res.stderr
     assert res.stdout.count("PRIMARY METRIC:") == 2
     assert "Best parameters:" in res.stdout
+    events = [json.loads(l) for l in open(trial_log)]
+    # 2 trials + final re-eval, 1 epoch each, via -tf env passthrough
+    assert sum(e["event"] == "epoch" for e in events) == 3
