@@ -60,6 +60,8 @@ class GRU4Rec:
         self._predict_batch = None
         self._predict_n_items = None
         self._current_session = None
+        self._topk_fn = None
+        self._topk_k = None
 
     # Convenience passthroughs for reference-style attribute access.
     def set_params(self, **kwargs):
@@ -100,6 +102,7 @@ class GRU4Rec:
         """
         cfg = self.config
         self._predict_fn = None
+        self._topk_fn = None
         self.error_during_train = False
         self.epoch_stats = []  # per-epoch {loss, seconds, steps, events}
         item_key, session_key, time_key = cfg.item_key, cfg.session_key, cfg.time_key
@@ -425,6 +428,54 @@ class GRU4Rec:
             return pd.DataFrame(data=np.asarray(preds).T, index=predict_for_item_ids)
         self.H, preds = self._predict_fn(self.params, self.H, in_idx)
         return pd.DataFrame(data=np.asarray(preds).T, index=self.itemidmap.index)
+
+    def predict_topk(self, session_ids, input_item_ids, k: int = 20,
+                     batch: int = 100):
+        """Serving-oriented top-k recommendation (beyond the reference, whose
+        only serving API materializes the full items x events score frame):
+        the top-k selection runs on device (``lax.top_k`` over the catalog
+        scores), so only k ids + scores per lane cross back to the host.
+
+        Same stateful semantics as :meth:`predict_next_batch` (persistent
+        hidden state per lane, reset on session change — the two methods
+        share the lane state). Returns ``(items, scores)``: an object array
+        (batch, k) of raw item IDs, best first, and a float array (batch, k).
+        """
+        if self.error_during_train:
+            raise Exception("Training ended with an error; model is unusable.")
+        if self._topk_fn is None or self._topk_k != k or self._predict_batch != batch:
+            base = self._build_predict_fn(subset=False)
+
+            @jax.jit
+            def topk_step(params, H, in_idx):
+                H_new, yhat = base(params, H, in_idx)
+                scores, idx = jax.lax.top_k(yhat, k)
+                return H_new, idx, scores
+
+            # share lane state with predict_next_batch: (re)initialize it the
+            # same way its compile path does
+            if self._predict_fn is None or self._predict_batch != batch:
+                self._predict_fn = self._build_predict_fn(subset=False)
+                self._predict_batch = batch
+                self._predict_n_items = None
+                self.H = tuple(gru.init_hidden(self.config, batch))
+                self._current_session = np.ones(batch) * -1
+            self._topk_fn = topk_step
+            self._topk_k = k
+
+        session_ids = np.asarray(session_ids)
+        changed = session_ids != self._current_session
+        if changed.any():
+            mask = jnp.asarray(~changed)[:, None]
+            self.H = tuple(h * mask for h in self.H)
+            self._current_session = session_ids.copy()
+
+        in_idx = jnp.asarray(self.itemidmap[input_item_ids].values.astype(np.int32))
+        self.H, idx, scores = self._topk_fn(self.params, self.H, in_idx)
+        # Arrow-backed string indexes (pandas>=3) reject 2-D fancy indexing
+        vocab = np.asarray(self.itemidmap.index.values, dtype=object)
+        item_ids = vocab[np.asarray(idx)]
+        return item_ids, np.asarray(scores)
 
     # ------------------------------------------------------------------ #
     def savemodel(self, fname: str, include_optimizer: bool = False):

@@ -140,3 +140,22 @@ def test_item_subset_evaluation_and_prediction(trained):
     )
     assert list(preds.index) == items_all[:7]
     assert preds.shape == (7, 2)
+
+
+def test_predict_topk(trained):
+    """Device-side top-k serving must agree with the full score frame."""
+    m, _ = trained
+    sess = np.array([501, 502, 503])
+    inputs = np.array(["item_3", "item_10", "item_20"])
+    items, scores = m.predict_topk(sess, inputs, k=5, batch=3)
+    assert items.shape == (3, 5) and scores.shape == (3, 5)
+    # best-first ordering
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    # fresh lanes, same inputs: full-frame argmax must match top-1
+    m2, _ = trained
+    preds = m2.predict_next_batch(np.array([601, 602, 603]), inputs, batch=3)
+    top1_full = preds.idxmax(axis=0).values
+    items2, _ = m2.predict_topk(np.array([601, 602, 603]), inputs, k=5, batch=3)
+    # note: predict_topk shares lane state; using the same session ids keeps
+    # H consistent with the frame call above (session unchanged -> no reset)
+    np.testing.assert_array_equal(items2[:, 0], top1_full)
