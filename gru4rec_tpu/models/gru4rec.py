@@ -443,6 +443,7 @@ class GRU4Rec:
         """
         if self.error_during_train:
             raise Exception("Training ended with an error; model is unusable.")
+        k = min(int(k), self.n_items)
         if self._topk_fn is None or self._topk_k != k or self._predict_batch != batch:
             base = self._build_predict_fn(subset=False)
 
