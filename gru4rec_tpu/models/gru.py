@@ -127,12 +127,19 @@ def _dropout(x, p, key):
 def _make_mm(cfg: GRU4RecConfig):
     """Matmul in ``compute_dtype`` with float32 accumulation (MXU mixed
     precision): operands are cast to the compute dtype per use — parameters
-    and activations stay float32 everywhere else."""
+    and activations stay float32 everywhere else.
+
+    When the user asks for float32 compute, request HIGHEST precision:
+    XLA:TPU's DEFAULT precision runs f32 matmuls as single-pass bf16
+    products (~5e-4 error), which would make ``compute_dtype="float32"``
+    silently not mean float32 on the hardware it is meant for."""
     cdt = jnp.dtype(cfg.compute_dtype)
+    precision = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
 
     def mm(a, b):
         return jnp.dot(
-            a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32
+            a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
     return mm
