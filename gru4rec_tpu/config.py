@@ -67,13 +67,18 @@ class GRU4RecConfig:
     # MXU operand width; set "float32" for bit-exact reference-style matmuls
     # (the numeric-parity tests do).
     compute_dtype: str = "bfloat16"
-    # Storage dtype of the row-sparse optimizer state (adagrad/rmsprop
-    # accumulators, momentum velocity) of the big item tables. The update
-    # math always runs in float32; only the persisted rows are rounded.
-    # bfloat16 halves the per-step HBM bytes of the dominant scatter/gather
-    # ops (~10% step time on v5e) at ~0.4% relative rounding noise on state
-    # that only modulates the adaptive learning rate — far below minibatch
-    # noise. Set to "float32" for bit-exact adagrad bookkeeping.
+    # Storage dtype of the row-sparse optimizer state of the big item
+    # tables. The update math always runs in float32; only the persisted
+    # rows are rounded. bfloat16 halves the per-step HBM bytes of the
+    # dominant scatter/gather ops (~10% step time on v5e) at ~0.4% relative
+    # rounding noise on state that only modulates the adaptive learning
+    # rate — far below minibatch noise. Narrow storage is applied per state
+    # slot only where it is safe: monotone accumulators (adagrad) and slow
+    # EMAs (decay > 0.99, e.g. adam's default v2=0.999 second moment) stay
+    # in the parameter dtype because their per-step relative change is
+    # below bfloat16's rounding threshold and they would silently freeze
+    # (train/optimizers.py::Optimizer._ema_dtype). Set to "float32" to
+    # disable narrow storage entirely.
     opt_state_dtype: str = "bfloat16"
     item_pad_multiple: int = 128  # pad item tables to a multiple of this many rows (MXU tiling)
     sampler: str = "alias"        # negative sampler: "alias" (O(1)/sample) or "searchsorted" (reference scheme)

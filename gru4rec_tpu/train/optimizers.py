@@ -93,10 +93,25 @@ class Optimizer:
         self.v2 = ap[1] if len(ap) > 1 else 0.999
 
     # ------------------------------------------------------------------ #
+    def _ema_dtype(self, decay, param):
+        """Storage dtype for sparse EMA state with the given decay constant.
+
+        An EMA near steady state changes by ~(1-decay) relative per step.
+        Stored narrower than the dtype's rounding threshold (bf16 half-ULP
+        ~3.9e-3), the update rounds back to the old value and the state
+        silently FREEZES — e.g. adam's second moment at the default
+        v2=0.999 (per-step change ~1e-3). Narrow storage is only allowed
+        when the per-step change clears bf16's threshold with margin
+        (decay <= 0.99); slower EMAs stay in the parameter dtype.
+        """
+        if decay <= 0.99:
+            return self.sparse_state_dtype
+        return param.dtype
+
     def init_state(self, param, sparse: bool = False) -> Dict:
         # NOTE: one fresh buffer per slot — sharing a zeros array between
         # state slots breaks buffer donation (same buffer donated twice).
-        # Sparse (row-updated item-table) state is stored in
+        # Sparse (row-updated item-table) state MAY be stored in the narrow
         # ``opt_state_dtype`` (see config.py); dense state stays float32.
         # Adagrad's accumulator is a MONOTONE sum — in a narrow dtype with
         # round-to-nearest, late g^2 increments would round away entirely and
@@ -106,28 +121,33 @@ class Optimizer:
         # scatters save, because the (16,128) bf16 tile doubles the
         # sublane read-modify-write amplification of row scatters.)
         # EMA-type state (rmsprop / adadelta / adam accumulators, momentum
-        # velocity) is a contraction, where nearest-rounding is plain noise.
-        dt = self.sparse_state_dtype if sparse else param.dtype
+        # velocity) is a contraction where nearest-rounding is noise — but
+        # ONLY while the decay is fast enough that per-step changes survive
+        # the rounding; _ema_dtype gates each slot on its decay constant.
+        def zeros(dtype):
+            return jnp.zeros(param.shape, dtype=dtype)
 
-        def zeros(dtype=None):
-            return jnp.zeros(param.shape, dtype=dtype or dt)
+        def ema(decay):
+            return self._ema_dtype(decay, param) if sparse else param.dtype
 
         st: Dict = {}
         if self.adapt == "adagrad":
             st["acc"] = zeros(param.dtype)
-        elif self.adapt in ("rmsprop", "adadelta", "adam"):
-            st["acc"] = zeros()
+        elif self.adapt in ("rmsprop", "adadelta"):
+            st["acc"] = zeros(ema(self.v1))
+        elif self.adapt == "adam":
+            st["acc"] = zeros(ema(self.v2))
         if self.adapt == "adadelta":
-            st["upd"] = zeros()
+            st["upd"] = zeros(ema(self.v1))
         if self.adapt == "adam":
-            st["meang"] = zeros()
+            st["meang"] = zeros(ema(self.v1))
             st["count"] = (
                 jnp.zeros((param.shape[0],), dtype=jnp.float32)
                 if param.ndim >= 1
                 else jnp.zeros((), dtype=jnp.float32)
             )
         if self.momentum > 0:
-            st["velocity"] = zeros()
+            st["velocity"] = zeros(ema(self.momentum))
         return st
 
     # ------------------------------------------------------------------ #

@@ -87,6 +87,45 @@ def test_momentum_dense_oracle():
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1) + v2, rtol=1e-6)
 
 
+def test_sparse_state_dtype_gated_on_decay():
+    """EMA state slower than bf16's rounding threshold must stay float32:
+    adam's default v2=0.999 second moment changes ~1e-3 relative per step,
+    below the bf16 half-ULP (~3.9e-3), so narrow storage would freeze it."""
+    cfg = GRU4RecConfig(adapt="adam", momentum=0.5, opt_state_dtype="bfloat16")
+    opt = make_optimizer(cfg)
+    st = opt.init_state(jnp.zeros((8, 4), jnp.float32), sparse=True)
+    assert st["acc"].dtype == jnp.float32      # v2 = 0.999: too slow for bf16
+    assert st["meang"].dtype == jnp.bfloat16   # v1 = 0.9: safe
+    assert st["velocity"].dtype == jnp.bfloat16
+
+    # a fast second moment (v2 = 0.95) may be stored narrow again
+    cfg = GRU4RecConfig(adapt="adam", adapt_params=[0.9, 0.95])
+    st = make_optimizer(cfg).init_state(jnp.zeros((8, 4), jnp.float32), sparse=True)
+    assert st["acc"].dtype == jnp.bfloat16
+
+    # rmsprop/adadelta at a user-set slow decay also stay wide
+    cfg = GRU4RecConfig(adapt="rmsprop", adapt_params=[0.999])
+    st = make_optimizer(cfg).init_state(jnp.zeros((8, 4), jnp.float32), sparse=True)
+    assert st["acc"].dtype == jnp.float32
+
+
+def test_adam_second_moment_does_not_freeze():
+    """Regression for the bf16-freeze bug: with constant unit gradient the
+    second moment must approach 1 - v2^T, not stall at the bf16 rounding
+    floor (~0.13 for v2=0.999)."""
+    cfg = GRU4RecConfig(adapt="adam", learning_rate=0.01)
+    opt = make_optimizer(cfg)
+    table = jnp.zeros((8, 4), jnp.float32)
+    st = opt.init_state(table, sparse=True)
+    idx = jnp.asarray(np.array([1, 3], np.int32))
+    g = jnp.ones((2, 4), jnp.float32)
+    for _ in range(500):
+        table, st = opt.apply_sparse(table, idx, g, st)
+    want = 1.0 - cfg.adapt_params[1] ** 500  # ~0.3936
+    got = np.asarray(st["acc"], np.float32)[1, 0]
+    np.testing.assert_allclose(got, want, rtol=0.02)
+
+
 def test_grad_cap():
     cfg = GRU4RecConfig(grad_cap=1.0)
     opt = make_optimizer(cfg)
