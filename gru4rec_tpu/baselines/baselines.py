@@ -1,14 +1,20 @@
 """Non-neural baseline recommenders with the reference's predict protocol.
 
 Reference: baselines.py (RandomPred :11-50, Pop :52-118, SessionPop :120-197,
-ItemKNN :199-301, BPR :303-419). All expose ``fit(data)`` and
+ItemKNN :199-301, BPR :303-419). All expose ``fit(data)``, the per-event
 ``predict_next(session_id, input_item_id, predict_for_item_ids) -> pd.Series``
-and are evaluated with ``eval.evaluation.evaluate_sessions``.
+protocol, and the session-vectorized
+``predict_session(session_id, session_items, predict_for_item_ids)`` used by
+``eval.evaluation.evaluate_sessions`` (one call per session instead of one
+per event; both produce the same scores).
 
-ItemKNN's similarity build is vectorized (a self-join + group count instead
-of the reference's O(n_items x events) Python loop) but computes the same
-quantity: co(i,j) = sum over sessions of supp_s(i)*supp_s(j), normalized by
-(supp_i + lambda)^alpha * (supp_j + lambda)^(1-alpha).
+ItemKNN's similarity build computes co(i,j) = sum over sessions of
+supp_s(i)*supp_s(j) as the sparse Gram matrix M'M of the session x item count
+matrix, normalized by (supp_i + lambda)^alpha * (supp_j + lambda)^(1-alpha) —
+the same quantity as the reference's O(n_items x events) Python loop, with
+memory bounded by the number of distinct co-occurring pairs (a dataframe
+self-join would materialize sum(session_len^2) rows and explode on
+RSC15-scale data).
 """
 
 from __future__ import annotations
@@ -31,6 +37,9 @@ class RandomPred:
             data=self.rng.rand(len(predict_for_item_ids)), index=predict_for_item_ids
         )
 
+    def predict_session(self, session_id, session_items, predict_for_item_ids):
+        return self.rng.rand(len(session_items) - 1, len(predict_for_item_ids))
+
 
 class Pop:
     """Global popularity ``supp/(1+supp)``, top-n truncated (baselines.py:52-118)."""
@@ -46,11 +55,19 @@ class Pop:
         pop = pop / (pop + 1)
         self.pop_list = pop.sort_values(ascending=False).head(self.top_n)
 
-    def predict_next(self, session_id, input_item_id, predict_for_item_ids):
+    def _pop_vector(self, predict_for_item_ids):
         preds = np.zeros(len(predict_for_item_ids))
         mask = np.isin(predict_for_item_ids, self.pop_list.index)
         preds[mask] = self.pop_list[predict_for_item_ids[mask]]
-        return pd.Series(data=preds, index=predict_for_item_ids)
+        return preds
+
+    def predict_next(self, session_id, input_item_id, predict_for_item_ids):
+        return pd.Series(data=self._pop_vector(predict_for_item_ids),
+                         index=predict_for_item_ids)
+
+    def predict_session(self, session_id, session_items, predict_for_item_ids):
+        return np.tile(self._pop_vector(predict_for_item_ids),
+                       (len(session_items) - 1, 1))
 
 
 class SessionPop:
@@ -81,6 +98,19 @@ class SessionPop:
         preds[mask] += ser[predict_for_item_ids[mask]]
         return pd.Series(data=preds, index=predict_for_item_ids)
 
+    def predict_session(self, session_id, session_items, predict_for_item_ids):
+        E = len(session_items) - 1
+        base = np.zeros(len(predict_for_item_ids))
+        mask = np.isin(predict_for_item_ids, self.pop_list.index)
+        base[mask] = self.pop_list[np.asarray(predict_for_item_ids)[mask]]
+        scores = np.tile(base, (E, 1))
+        # in-session count of each input accumulates from its event onward
+        pos = pd.Index(predict_for_item_ids).get_indexer(session_items[:-1])
+        for t, p in enumerate(pos):
+            if p >= 0:
+                scores[t:, p] += 1.0
+        return scores
+
 
 class ItemKNN:
     """Item co-occurrence similarity, top n_sims per item (baselines.py:199-301)."""
@@ -95,30 +125,36 @@ class ItemKNN:
         self.time_key = time_key
 
     def fit(self, data):
+        from scipy import sparse
+
         itemids = data[self.item_key].unique()
         n_items = len(itemids)
         idmap = pd.Series(np.arange(n_items), index=itemids)
-        df = pd.DataFrame({
-            "s": data[self.session_key].values,
-            "i": idmap[data[self.item_key].values].values,
-        })
-        supp = np.zeros(n_items, dtype=np.int64)
-        cnt = df.groupby("i").size()
-        supp[cnt.index.values] = cnt.values
-        # co(i,j) = sum_s supp_s(i) * supp_s(j): session-level self-join
-        pairs = df.merge(df, on="s")
-        co = pairs.groupby(["i_x", "i_y"]).size().reset_index(name="c")
-        co = co[co.i_x != co.i_y]
+        i_codes = idmap[data[self.item_key].values].values.astype(np.int64)
+        s_codes, _ = pd.factorize(data[self.session_key].values)
+        supp = np.bincount(i_codes, minlength=n_items)
+        # co(i,j) = sum_s supp_s(i)*supp_s(j) = (M'M)_ij with M the
+        # session x item count matrix. Sparse Gram keeps memory bounded by
+        # the number of DISTINCT co-occurring item pairs; a dataframe
+        # self-join materializes sum(session_len^2) rows instead
+        M = sparse.csr_matrix(
+            (np.ones(len(i_codes), np.float64), (s_codes, i_codes)),
+            shape=(int(s_codes.max()) + 1, n_items),
+        )
+        co = (M.T @ M).tocsr()
         norm_i = (supp + self.lmbd) ** self.alpha
         norm_j = (supp + self.lmbd) ** (1.0 - self.alpha)
+        indptr, indices, vals = co.indptr, co.indices, co.data
         sims = {}
-        for i, grp in co.groupby("i_x"):
-            j = grp.i_y.values
-            val = grp.c.values / (norm_i[i] * norm_j[j])
+        for i in range(n_items):
+            j = indices[indptr[i]: indptr[i + 1]]
+            c = vals[indptr[i]: indptr[i + 1]]
+            keep = j != i
+            j, c = j[keep], c[keep]
+            val = c / (norm_i[i] * norm_j[j])
             top = np.argsort(val)[::-1][: self.n_sims]
             sims[itemids[i]] = pd.Series(data=val[top], index=itemids[j[top]])
-        empty = pd.Series(dtype=np.float64)
-        self.sims = {iid: sims.get(iid, empty) for iid in itemids}
+        self.sims = sims
 
     def predict_next(self, session_id, input_item_id, predict_for_item_ids):
         preds = np.zeros(len(predict_for_item_ids))
@@ -126,6 +162,17 @@ class ItemKNN:
         mask = np.isin(predict_for_item_ids, sim_list.index)
         preds[mask] = sim_list[predict_for_item_ids[mask]]
         return pd.Series(data=preds, index=predict_for_item_ids)
+
+    def predict_session(self, session_id, session_items, predict_for_item_ids):
+        colmap = pd.Index(predict_for_item_ids)
+        out = np.zeros((len(session_items) - 1, len(colmap)))
+        for t, inp in enumerate(session_items[:-1]):
+            sim_list = self.sims[inp]
+            if len(sim_list):
+                pos = colmap.get_indexer(sim_list.index)
+                ok = pos >= 0
+                out[t, pos[ok]] = sim_list.values[ok]
+        return out
 
 
 class BPR:
@@ -195,3 +242,11 @@ class BPR:
         iIdxs = self.itemidmap[predict_for_item_ids]
         return pd.Series(data=self.I[iIdxs].dot(uF) + self.bI[iIdxs],
                          index=predict_for_item_ids)
+
+    def predict_session(self, session_id, session_items, predict_for_item_ids):
+        # session vector at event t = mean of the first t+1 input factors
+        # (predict_next appends the input before averaging)
+        iidx = self.itemidmap[np.asarray(session_items[:-1])].values
+        uF = np.cumsum(self.I[iidx], axis=0) / np.arange(1, len(iidx) + 1)[:, None]
+        cols = self.itemidmap[np.asarray(predict_for_item_ids)].values
+        return uF @ self.I[cols].T + self.bI[cols]

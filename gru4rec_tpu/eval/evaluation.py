@@ -37,8 +37,25 @@ from gru4rec_tpu.ops.ranking import TIE_MODES, compute_ranks, ranks_from_counts
 # Compiled-evaluator cache: make_eval_chunk_fn returns a fresh jax.jit
 # wrapper, and a fresh wrapper means a full retrace + (tunnel) recompile —
 # ~1.7s per evaluate() call even with identical shapes. Keyed by everything
-# that shapes the compiled graph.
-_CHUNK_FN_CACHE: dict = {}
+# that shapes the compiled graph. LRU-bounded: a long-lived process sweeping
+# eval settings (paropt-style) must not pin compiled programs (and, for dist
+# entries, mesh device references) forever.
+from collections import OrderedDict
+
+_CHUNK_FN_CACHE: OrderedDict = OrderedDict()
+_CHUNK_FN_CACHE_MAX = 16
+
+
+def _cache_get_or_build(key, build):
+    fn = _CHUNK_FN_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _CHUNK_FN_CACHE[key] = fn
+        while len(_CHUNK_FN_CACHE) > _CHUNK_FN_CACHE_MAX:
+            _CHUNK_FN_CACHE.popitem(last=False)
+    else:
+        _CHUNK_FN_CACHE.move_to_end(key)
+    return fn
 
 
 def _cached_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
@@ -50,16 +67,15 @@ def _cached_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
         n_items, tuple(int(c) for c in cutoffs), tie_mode, int(batch_size),
         bool(items_subset),
     )
-    fn = _CHUNK_FN_CACHE.get(key)
-    if fn is None:
-        fn = make_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
-                                items_subset)
-        _CHUNK_FN_CACHE[key] = fn
-    return fn
+    return _cache_get_or_build(
+        key,
+        lambda: make_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
+                                   items_subset),
+    )
 
 
 def _cached_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
-                               mesh):
+                               mesh, items_subset):
     import json
 
     key = (
@@ -67,13 +83,13 @@ def _cached_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
         n_items, tuple(int(c) for c in cutoffs), tie_mode, int(batch_size),
         tuple(mesh.shape.items()),
         tuple(d.id for d in mesh.devices.flat),
+        bool(items_subset),
     )
-    fn = _CHUNK_FN_CACHE.get(key)
-    if fn is None:
-        fn = make_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode,
-                                     batch_size, mesh)
-        _CHUNK_FN_CACHE[key] = fn
-    return fn
+    return _cache_get_or_build(
+        key,
+        lambda: make_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode,
+                                        batch_size, mesh, items_subset),
+    )
 
 
 def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
@@ -166,13 +182,20 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
 
 def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
                             cutoffs: Sequence[int], tie_mode: str,
-                            batch_size: int, mesh):
+                            batch_size: int, mesh, items_subset: bool = False):
     """Multi-chip full-catalog evaluation (SURVEY.md §2.10: sharded matmul
     over the row-sharded item table). Rank-based Recall/MRR distributes
     without any top-k: each model shard counts how many of ITS items outscore
     the target and the counts are ``psum``-med — lanes shard over ``data``,
     ``Wy`` rows over ``model``, exactly the training layout, so a trained
     sharded model can be evaluated without gathering the table to one chip.
+
+    ``items_subset=True`` restricts the rank competitors to an item list
+    (reference: evaluation.py:104-105): the subset's score columns shard over
+    ``model`` exactly like the catalog — each shard scores the subset rows it
+    owns (the rest gather as zero and are masked from the counts) and the
+    comparison counts are psum-reduced, with the single-chip path's
+    self-comparison adjustment applied unchanged.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -200,7 +223,7 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
     cfg = dataclasses.replace(cfg, final_act="linear")
 
     def chunk_body(params, H, in_c, out_c, valid_c, reset_c, rec, mrr, n, key,
-                   step):
+                   step, item_idx=None):
         rows_local = params["Wy"].shape[0]
         mi = jax.lax.axis_index("model")
         r0 = mi * rows_local
@@ -214,6 +237,15 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
             rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
             return jax.lax.psum(rows, "model")
 
+        if items_subset:
+            # subset columns shard over `model` like the catalog: each shard
+            # keeps only the rows it owns (others zero, masked from counts);
+            # gathered ONCE per chunk, the scan reuses them every step
+            sub_owned = (item_idx >= r0) & (item_idx < r0 + rows_local)
+            loc_sub = jnp.where(sub_owned, item_idx - r0, rows_local)
+            sub_rows = jnp.take(params["Wy"], loc_sub, axis=0, mode="fill",
+                                fill_value=0)
+
         def step_fn(carry, xs):
             H, rec, mrr, n, step = carry
             in_idx, out_idx, valid, reset = xs
@@ -226,39 +258,84 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
             else:
                 srows = {"Wx0": gather_rows(params["Wx"][0], Xg)}
             b = Xg.shape[0]
-            # forward up to the hidden state; score against the LOCAL shard
-            H_new, scores = gru.forward(
-                params, srows, list(H), cfg, M=b, training=False,
-                full_catalog=True, item_valid=col_valid,
-            )
-            scores = jnp.where(col_valid, scores, -jnp.inf)
-            if tie_mode == "tiebreaking":
-                # RELATIVE dither: these are pre-activation logits of O(1)
-                # magnitude, where an absolute 1e-10 (the single-chip path's
-                # post-activation constant) is below one f32 ULP and would
-                # round away, silently degrading to 'standard'
-                nkey = jax.random.fold_in(jax.random.fold_in(key, step), mi)
-                u = jax.random.uniform(nkey, scores.shape)
-                noise = u * (jnp.abs(scores) * 1e-6 + 1e-12)
-                # padding columns hold -inf: |.|*eps would be inf -> NaN
-                scores = scores + jnp.where(col_valid, noise, 0.0)
             out_v = jnp.where(valid, out_idx, 0)
-            t_local = jnp.where(
-                (out_v >= r0) & (out_v < r0 + rows_local),
-                scores[jnp.arange(b), jnp.clip(out_v - r0, 0, rows_local - 1)],
-                0.0,
-            )
-            target = jax.lax.psum(t_local, "model")
-            t = target[:, None]
-            gt = jax.lax.psum(jnp.sum((scores > t) & col_valid, axis=1), "model")
-            second = None
-            if tie_mode == "conservative":
-                second = jax.lax.psum(
-                    jnp.sum((scores >= t) & col_valid, axis=1), "model")
-            elif tie_mode == "median":
-                second = jax.lax.psum(
-                    jnp.sum((scores == t) & col_valid, axis=1), "model")
-            ranks = ranks_from_counts(gt, second, tie_mode)
+            self_adj = 0.0
+            if items_subset:
+                # score [targets | subset] like the single-chip subset path;
+                # target rows gathered per step (b rows), subset rows hoisted
+                t_owned = (out_v >= r0) & (out_v < r0 + rows_local)
+                loc_t = jnp.where(t_owned, out_v - r0, rows_local)
+                t_rows = jnp.take(params["Wy"], loc_t, axis=0, mode="fill",
+                                  fill_value=0)
+                srows["Wy"] = jnp.concatenate([t_rows, sub_rows], axis=0)
+                H_new, yhat = gru.forward(
+                    params, srows, list(H), cfg, M=b, training=False,
+                    full_catalog=False,
+                )
+                owned_cols = jnp.concatenate([t_owned, sub_owned])
+                if tie_mode == "tiebreaking":
+                    nkey = jax.random.fold_in(jax.random.fold_in(key, step), mi)
+                    u = jax.random.uniform(nkey, yhat.shape)
+                    noise = u * (jnp.abs(yhat) * 1e-6 + 1e-12)
+                    yhat = yhat + jnp.where(owned_cols[None, :], noise, 0.0)
+                t_local = jnp.where(
+                    t_owned, yhat[jnp.arange(b), jnp.arange(b)], 0.0)
+                target = jax.lax.psum(t_local, "model")
+                t = target[:, None]
+                scores = yhat[:, b:]
+                cnt_ok = sub_owned[None, :]
+                gt = jax.lax.psum(
+                    jnp.sum((scores > t) & cnt_ok, axis=1), "model")
+                second = None
+                if tie_mode == "conservative":
+                    second = jax.lax.psum(
+                        jnp.sum((scores >= t) & cnt_ok, axis=1), "model")
+                elif tie_mode == "median":
+                    second = jax.lax.psum(
+                        jnp.sum((scores == t) & cnt_ok, axis=1), "model")
+                if tie_mode in ("conservative", "median"):
+                    # single-chip self-comparison adjustment, unchanged (see
+                    # make_eval_chunk_fn): count the self exactly once when
+                    # the target is not among the subset columns
+                    out_chk = jnp.where(valid, out_idx, -1)
+                    in_sub = jnp.any(item_idx[None, :] == out_chk[:, None],
+                                     axis=1)
+                    self_adj = jnp.where(
+                        in_sub, 0.0, 1.0 if tie_mode == "conservative" else 0.5
+                    )
+            else:
+                # forward up to the hidden state; score against the LOCAL shard
+                H_new, scores = gru.forward(
+                    params, srows, list(H), cfg, M=b, training=False,
+                    full_catalog=True, item_valid=col_valid,
+                )
+                scores = jnp.where(col_valid, scores, -jnp.inf)
+                if tie_mode == "tiebreaking":
+                    # RELATIVE dither: these are pre-activation logits of O(1)
+                    # magnitude, where an absolute 1e-10 (the single-chip path's
+                    # post-activation constant) is below one f32 ULP and would
+                    # round away, silently degrading to 'standard'
+                    nkey = jax.random.fold_in(jax.random.fold_in(key, step), mi)
+                    u = jax.random.uniform(nkey, scores.shape)
+                    noise = u * (jnp.abs(scores) * 1e-6 + 1e-12)
+                    # padding columns hold -inf: |.|*eps would be inf -> NaN
+                    scores = scores + jnp.where(col_valid, noise, 0.0)
+                t_local = jnp.where(
+                    (out_v >= r0) & (out_v < r0 + rows_local),
+                    scores[jnp.arange(b), jnp.clip(out_v - r0, 0, rows_local - 1)],
+                    0.0,
+                )
+                target = jax.lax.psum(t_local, "model")
+                t = target[:, None]
+                gt = jax.lax.psum(jnp.sum((scores > t) & col_valid, axis=1), "model")
+                second = None
+                if tie_mode == "conservative":
+                    second = jax.lax.psum(
+                        jnp.sum((scores >= t) & col_valid, axis=1), "model")
+                elif tie_mode == "median":
+                    second = jax.lax.psum(
+                        jnp.sum((scores == t) & col_valid, axis=1), "model")
+            ranks = ranks_from_counts(gt, second, tie_mode) + self_adj
             vf = valid.astype(jnp.float32)
             for k, c in enumerate(cutoffs):
                 hit = (ranks <= c).astype(jnp.float32) * vf
@@ -293,6 +370,8 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
     )
     in_specs = (pspec, h_spec, sched_spec, sched_spec, sched_spec, sched_spec,
                 P(None), P(None), P(), P(), P())
+    if items_subset:
+        in_specs = in_specs + (P(None),)  # item list replicated on every shard
     out_specs = (h_spec, P(None), P(None), P(), P())
     body = jax.shard_map(chunk_body, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
@@ -309,7 +388,19 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
     ``mesh`` (a ``jax.sharding.Mesh`` with ``data``/``model`` axes) evaluates
     multi-chip: lanes shard over ``data``, the item table over ``model`` —
     the full catalog never needs to fit one chip (see
-    make_dist_eval_chunk_fn). Not combinable with ``items``."""
+    make_dist_eval_chunk_fn). ``items`` restricts rank competitors to the
+    given item list (reference: evaluation.py:104-105) and combines with
+    ``mesh`` (subset columns shard over ``model``).
+
+    Tie modes match between the single-chip and mesh paths exactly for
+    ``standard``/``conservative``/``median``. ``tiebreaking`` necessarily
+    DIVERGES beyond shared-RNG reproducibility: the single-chip path adds an
+    absolute 1e-10 uniform dither to post-activation scores, while the mesh
+    path ranks on pre-activation logits (shard-local softmax normalization is
+    not comparable across shards) and must use a RELATIVE dither (~1e-6·|x|)
+    because 1e-10 is below one f32 ULP of an O(1) logit and would round away.
+    Both draw different random streams; results agree in distribution (ties
+    broken uniformly at random) but not event-for-event."""
     if gru_model.error_during_train:
         raise Exception("Training ended with an error; model is unusable.")
     multi = isinstance(cut_off, (list, tuple))
@@ -336,8 +427,6 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
     item_idx = None
     items_subset = items is not None
     if items_subset:
-        if mesh is not None:
-            raise NotImplementedError("item-subset evaluation is single-chip")
         item_idx = jnp.asarray(itemidmap[items].values.astype(np.int32))
 
     dist_params = None
@@ -347,7 +436,8 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
         from gru4rec_tpu.parallel.mesh import param_pspecs
 
         chunk_fn = _cached_dist_eval_chunk_fn(
-            cfg, gru_model.n_items, cutoffs, mode, batch_size, mesh
+            cfg, gru_model.n_items, cutoffs, mode, batch_size, mesh,
+            items_subset,
         )
         mode_in = gru.input_mode(cfg)
         pspec = param_pspecs(gru_model.params, mode_in)
@@ -383,8 +473,9 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
             # one host->sharded transfer (an intermediate jnp.asarray would
             # land on the default device first and reshard from there)
             args = tuple(jax.device_put(a, sched_shard) for a in raw)
+            extra = (item_idx,) if items_subset else ()
             H, rec, mrr, n, step = chunk_fn(
-                dist_params, H, *args, rec, mrr, n, key, step
+                dist_params, H, *args, rec, mrr, n, key, step, *extra
             )
         elif items_subset:
             args = tuple(jnp.asarray(a) for a in raw)
@@ -488,38 +579,80 @@ def evaluate_sessions_batch(pr, test_data, items=None, cut_off=20, batch_size=10
 def evaluate_sessions(pr, test_data, train_data, items=None, cut_off=20,
                       session_key="SessionId", item_key="ItemId", time_key="Time",
                       rng=None):
-    """Single-event evaluator for baseline predictors implementing the
-    ``predict_next(session_id, input_item_id, predict_for_item_ids)`` protocol
-    (reference: evaluation.py:247-301). Uses ``rank <= cut_off`` — the
-    reference's strict ``<`` (evaluation.py:296) is a documented off-by-one
-    that SURVEY.md §2.5 flags as not-to-replicate."""
+    """Session-vectorized evaluator for baseline predictors (the protocol of
+    reference evaluation.py:247-301, re-designed).
+
+    Predictors exposing ``predict_session(session_id, session_items,
+    predict_for_item_ids) -> (len(session_items)-1, n) score matrix`` (all
+    shipped baselines do) are driven one call per session, with random
+    tie-breaking and rank computation vectorized over the session's events —
+    orders of magnitude fewer Python-level steps than the reference's
+    per-event loop. Predictors implementing only
+    ``predict_next(session_id, input_item_id, predict_for_item_ids)`` fall
+    back to per-event calls. Ranks are strict-greater counts + 1 under a
+    1e-8 uniform dither, scored as ``rank <= cut_off`` — the reference's
+    strict ``<`` (evaluation.py:296) is a documented off-by-one that
+    SURVEY.md §2.5 flags as not-to-replicate.
+
+    When ``items`` is given, an event's rank competitors are ``items`` plus
+    the target itself (reference: evaluation.py:288-291); the vectorized path
+    scores each session's out-of-list targets as extra columns — under a
+    strict ``>`` the target's self-comparison contributes nothing, so the
+    extra columns never change the rank.
+    """
     if rng is None:
         rng = np.random.RandomState(0)
     test_data = test_data.sort_values([session_key, time_key])
-    items_to_predict = train_data[item_key].unique()
-    n_points = 0
-    prev_iid, prev_sid = -1, -1
-    mrr, recall = 0.0, 0.0
+    vocab = train_data[item_key].unique()
     sids = test_data[session_key].values
     iids = test_data[item_key].values
-    for i in range(len(test_data)):
-        sid, iid = sids[i], iids[i]
-        if prev_sid != sid:
-            prev_sid = sid
+    bounds = np.concatenate(
+        [[0], np.nonzero(sids[1:] != sids[:-1])[0] + 1, [len(sids)]]
+    )
+    use_session_api = hasattr(pr, "predict_session")
+    items_arr = np.asarray(items) if items is not None else None
+    n_points, recall, mrr = 0, 0.0, 0.0
+    for k in range(len(bounds) - 1):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        if hi - lo < 2:
+            continue  # a 1-event session has nothing to predict
+        sess = iids[lo:hi]
+        targets = sess[1:]
+        if use_session_api:
+            if items_arr is None:
+                cols, cand_mask = vocab, None
+            else:
+                extra = pd.unique(targets[~np.isin(targets, items_arr)])
+                cols = np.hstack([items_arr, extra])
+                cand_mask = np.zeros(len(cols), bool)
+                cand_mask[: len(items_arr)] = True
+            scores = np.asarray(
+                pr.predict_session(sids[lo], sess, cols), dtype=np.float64
+            )
+            scores = np.nan_to_num(scores, nan=0.0)
+            scores = scores + 1e-8 * rng.rand(*scores.shape)
+            tscore = scores[
+                np.arange(len(targets)), pd.Index(cols).get_indexer(targets)
+            ]
+            cand = scores if cand_mask is None else scores[:, cand_mask]
+            ranks = (cand > tscore[:, None]).sum(axis=1) + 1.0
         else:
-            if items is not None:
-                if np.isin(iid, items):
-                    items_to_predict = items
+            ranks = np.empty(len(targets))
+            prev = sess[0]
+            for t, tgt in enumerate(targets):
+                if items_arr is None:
+                    predict_for = vocab
+                elif (items_arr == tgt).any():
+                    predict_for = items_arr
                 else:
-                    items_to_predict = np.hstack(([iid], items))
-            preds = pr.predict_next(sid, prev_iid, items_to_predict)
-            preds[np.isnan(preds)] = 0
-            preds = preds + 1e-8 * rng.rand(len(preds))  # tie breaking
-            rank = (preds > preds[iid]).sum() + 1
-            assert rank > 0
-            if rank <= cut_off:
-                recall += 1
-                mrr += 1.0 / rank
-            n_points += 1
-        prev_iid = iid
+                    predict_for = np.hstack(([tgt], items_arr))
+                preds = pr.predict_next(sids[lo], prev, predict_for)
+                preds[np.isnan(preds)] = 0
+                preds = preds + 1e-8 * rng.rand(len(preds))
+                ranks[t] = (preds > preds[tgt]).sum() + 1
+                prev = tgt
+        ok = ranks <= cut_off
+        recall += int(ok.sum())
+        mrr += float((1.0 / ranks[ok]).sum())
+        n_points += len(ranks)
     return recall / n_points, mrr / n_points

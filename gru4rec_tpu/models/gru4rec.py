@@ -228,13 +228,24 @@ class GRU4Rec:
                 chunks = cached_chunks
             T = chunks[-1][4] if chunks else 0
             loss_parts, ev_parts = [], []
-            for in_c, out_c, valid_c, reset_c, _ in chunks:
+            for ci, (in_c, out_c, valid_c, reset_c, _) in enumerate(chunks):
                 state, ls, ec = chunk_fn(
                     state, jnp.asarray(in_c), jnp.asarray(out_c),
                     jnp.asarray(valid_c), jnp.asarray(reset_c), samp1, samp2, logp0,
                 )
                 loss_parts.append(ls)
                 ev_parts.append(ec)
+                # Fail-fast on divergence (the reference aborts per step,
+                # gru4rec.py:626-629): check an already-completed chunk's
+                # partial loss two dispatches behind, so the host sync never
+                # stalls the device — two chunks stay in flight.
+                if ci >= 2 and np.isnan(float(loss_parts[ci - 2])):
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    print(f"Epoch {epoch}: NaN error!")
+                    logger.log("nan_abort", epoch=epoch, chunk=ci - 2)
+                    self.error_during_train = True
+                    return self
             total_events = float(jnp.sum(jnp.stack(ev_parts))) if ev_parts else 0.0
             total_loss = float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0
             if profiling:

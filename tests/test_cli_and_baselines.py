@@ -129,6 +129,74 @@ def test_itemknn_matches_reference_loop_semantics():
     np.testing.assert_allclose(knn.sims["c"]["b"], 2 / (np.sqrt(1) * np.sqrt(4)))
 
 
+class _HideSessionAPI:
+    """Expose only predict_next, forcing evaluate_sessions' per-event fallback."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def predict_next(self, *a):
+        return self._inner.predict_next(*a)
+
+
+def test_evaluate_sessions_vectorized_matches_per_event():
+    """The session-vectorized evaluator path must reproduce the per-event
+    fallback exactly for every baseline (same scores, same dither stream:
+    rand(E-1, n) consumes the generator identically to E-1 rand(n) calls)."""
+    train = markov_df(120)
+    test = markov_df(25, seed=8)
+    makers = {
+        "pop": lambda: Pop(item_key="ItemId"),
+        "spop": lambda: SessionPop(item_key="ItemId"),
+        "knn": lambda: ItemKNN(n_sims=10),
+        "bpr": lambda: BPR(n_factors=8, n_iterations=2, learning_rate=0.05),
+        "rand": lambda: RandomPred(),
+    }
+    for name, mk in makers.items():
+        a, b = mk(), mk()
+        a.fit(train)
+        b.fit(train)
+        r1, m1 = evaluate_sessions(a, test, train, cut_off=5,
+                                   rng=np.random.RandomState(7))
+        r2, m2 = evaluate_sessions(_HideSessionAPI(b), test, train, cut_off=5,
+                                   rng=np.random.RandomState(7))
+        np.testing.assert_allclose([r1, m1], [r2, m2], atol=1e-12, err_msg=name)
+
+
+def test_evaluate_sessions_items_subset_paths_agree():
+    """Item-subset mode: the vectorized path scores items + out-of-list
+    targets as extra columns; ranks must match the fallback's per-event
+    [target]+items scoring (BPR: continuous scores, no ties to flip)."""
+    train = markov_df(120)
+    test = markov_df(25, seed=8)
+    items = train.ItemId.unique()[:7]
+    a = BPR(n_factors=8, n_iterations=2, learning_rate=0.05)
+    b = BPR(n_factors=8, n_iterations=2, learning_rate=0.05)
+    a.fit(train)
+    b.fit(train)
+    r1, m1 = evaluate_sessions(a, test, train, items=items, cut_off=5,
+                               rng=np.random.RandomState(7))
+    r2, m2 = evaluate_sessions(_HideSessionAPI(b), test, train, items=items,
+                               cut_off=5, rng=np.random.RandomState(7))
+    np.testing.assert_allclose([r1, m1], [r2, m2], atol=1e-9)
+
+
+def test_itemknn_long_sessions_memory_bounded():
+    """Long sessions must not blow up the similarity build: the sparse Gram
+    matrix is linear in distinct co-occurring pairs, while a session-level
+    self-join would materialize sum(len^2) ~ 4.3M pair rows here."""
+    rng = np.random.RandomState(0)
+    rows, t = [], 0
+    for s in range(30):
+        for _ in range(380):
+            rows.append((s, f"it{rng.randint(60)}", t))
+            t += 1
+    train = pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+    knn = ItemKNN(n_sims=10)
+    knn.fit(train)
+    assert len(knn.sims) == train.ItemId.nunique()
+
+
 def test_bpr_baseline_learns():
     train = markov_df(150)
     bpr = BPR(n_factors=16, n_iterations=3, learning_rate=0.05)

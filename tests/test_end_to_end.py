@@ -106,6 +106,56 @@ def test_nan_abort_sets_error_flag():
             evaluate(m, data, cut_off=[5], batch_size=8)
 
 
+def test_train_with_no_extra_negatives():
+    """n_sample=0 trains on within-batch negatives only: the empty-negatives
+    branch of the step (train/step.py) plus the scheduler's >=2-live-lanes
+    rule (reference: gru4rec.py:637) must produce a model that learns."""
+    data = markov_data(n_sessions=300)
+    cfg = GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[32], batch_size=16,
+        n_sample=0, learning_rate=0.1, n_epochs=5, chunk_size=64,
+        item_pad_multiple=32,
+    )
+    m = GRU4Rec(cfg)
+    m.fit(data)
+    assert not m.error_during_train
+    rec, _ = evaluate(m, markov_data(50, seed=9), cut_off=[1], batch_size=16)
+    assert rec[0] > 0.5, f"recall@1 = {rec[0]}"
+
+
+def test_nan_abort_fails_fast(monkeypatch):
+    """Divergence must abort the epoch a bounded number of chunks after it
+    happens — not at epoch end (the reference aborts per step,
+    gru4rec.py:626-629; we check completed chunks two dispatches behind)."""
+    import gru4rec_tpu.models.gru4rec as g4r_mod
+
+    data = markov_data(n_sessions=300)
+    cfg = GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[16], batch_size=8,
+        n_sample=8, learning_rate=float("nan"), n_epochs=1, chunk_size=8,
+        item_pad_multiple=32,
+    )
+    calls = []
+    real = g4r_mod.make_chunk_fn
+
+    def counting(cfg, n_items):
+        fn = real(cfg, n_items)
+
+        def wrapped(*a, **k):
+            calls.append(1)
+            return fn(*a, **k)
+
+        return wrapped
+
+    monkeypatch.setattr(g4r_mod, "make_chunk_fn", counting)
+    m = GRU4Rec(cfg)
+    m.fit(data)
+    assert m.error_during_train
+    # NaN params after chunk 0's first update => chunk 0's loss sum is NaN;
+    # the lag-2 check sees it at the third dispatch. ~150 chunks exist.
+    assert len(calls) <= 4, f"abort not fail-fast: {len(calls)} chunks dispatched"
+
+
 def test_item_subset_evaluation_and_prediction(trained):
     """Item-subset scoring (reference: evaluate_gpu's `items` arg,
     evaluation.py:104-105, and predict_next_batch's predict_for_item_ids):

@@ -148,14 +148,12 @@ def test_fit_with_mesh_end_to_end():
     assert rec_d[0] > 0.8
 
 
-def test_distributed_evaluation_matches_single_chip():
-    """evaluate(mesh=...) — lanes over data, catalog rows over model — must
-    reproduce single-chip metrics (rank-based eval distributes as psums of
-    per-shard greater-than counts; no top-k needed)."""
+@pytest.fixture(scope="module")
+def eval_model():
+    """A small trained model + held-out test set shared by the eval tests."""
     import pandas as pd
 
     from gru4rec_tpu import GRU4Rec, GRU4RecConfig
-    from gru4rec_tpu.eval import evaluate
 
     rng = np.random.RandomState(3)
     rows, t = [], 0
@@ -173,7 +171,16 @@ def test_distributed_evaluation_matches_single_chip():
         compute_dtype="float32",  # shard-blocked bf16 matmuls round differently
     ))
     m.fit(train)
+    return m, test
 
+
+def test_distributed_evaluation_matches_single_chip(eval_model):
+    """evaluate(mesh=...) — lanes over data, catalog rows over model — must
+    reproduce single-chip metrics (rank-based eval distributes as psums of
+    per-shard greater-than counts; no top-k needed)."""
+    from gru4rec_tpu.eval import evaluate
+
+    m, test = eval_model
     mesh = make_mesh(2, 4)
     for tie_mode in ("standard", "conservative", "median"):
         rec_s, mrr_s = evaluate(m, test, cut_off=[1, 5], batch_size=8,
@@ -182,3 +189,50 @@ def test_distributed_evaluation_matches_single_chip():
                                 mode=tie_mode, mesh=mesh)
         np.testing.assert_allclose(rec_d, rec_s, atol=1e-6, err_msg=tie_mode)
         np.testing.assert_allclose(mrr_d, mrr_s, atol=1e-6, err_msg=tie_mode)
+
+
+def test_distributed_item_subset_evaluation(eval_model):
+    """Item-subset eval under a mesh (subset columns row-sharded over `model`)
+    must match the single-chip subset evaluator exactly in the deterministic
+    tie modes — including the self-comparison adjustment when the target is
+    outside the subset."""
+    from gru4rec_tpu.eval import evaluate
+
+    m, test = eval_model
+    mesh = make_mesh(2, 4)
+    subsets = (
+        [f"it{i}" for i in range(40)],   # whole vocabulary
+        [f"it{i}" for i in range(13)],   # strict subset: self_adj path hit
+    )
+    for items in subsets:
+        for tie_mode in ("standard", "conservative", "median"):
+            rec_s, mrr_s = evaluate(m, test, items=items, cut_off=[1, 5],
+                                    batch_size=8, mode=tie_mode)
+            rec_d, mrr_d = evaluate(m, test, items=items, cut_off=[1, 5],
+                                    batch_size=8, mode=tie_mode, mesh=mesh)
+            np.testing.assert_allclose(rec_d, rec_s, atol=1e-6,
+                                       err_msg=f"{tie_mode}/{len(items)}")
+            np.testing.assert_allclose(mrr_d, mrr_s, atol=1e-6,
+                                       err_msg=f"{tie_mode}/{len(items)}")
+
+
+def test_distributed_tiebreaking_statistically_matches(eval_model):
+    """'tiebreaking' draws different random dithers on the two paths (see
+    evaluate() docstring: absolute post-activation vs relative pre-activation)
+    so results agree in distribution, not event-for-event: both must sit
+    between the strict bounds and near 'standard' for a near-tie-free model."""
+    from gru4rec_tpu.eval import evaluate
+
+    m, test = eval_model
+    mesh = make_mesh(2, 4)
+    rec_std, _ = evaluate(m, test, cut_off=[5], batch_size=8, mode="standard")
+    rec_s, _ = evaluate(m, test, cut_off=[5], batch_size=8, mode="tiebreaking")
+    rec_d, _ = evaluate(m, test, cut_off=[5], batch_size=8, mode="tiebreaking",
+                        mesh=mesh)
+    # ranks under random tie-breaking are bounded by standard (best case) and
+    # conservative (worst case)
+    rec_con, _ = evaluate(m, test, cut_off=[5], batch_size=8,
+                          mode="conservative")
+    for r in (rec_s[0], rec_d[0]):
+        assert rec_con[0] - 1e-6 <= r <= rec_std[0] + 1e-6
+    assert abs(rec_d[0] - rec_s[0]) < 0.03
