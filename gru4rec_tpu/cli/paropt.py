@@ -174,8 +174,23 @@ def main(argv=None):
         # crashed runs resume from the same storage (SURVEY.md §5: paropt
         # trials as isolated processes, resumable Optuna storage); a stable
         # default study name — optuna otherwise auto-generates a fresh one
-        # per invocation, which would silently defeat load_if_exists
-        study_name = args.study_name or ("gru4rec_paropt" if args.storage else None)
+        # per invocation, which would silently defeat load_if_exists. The
+        # default is derived from the dataset and search space, so two runs
+        # pointed at one storage URL only merge when they optimize the SAME
+        # problem (a fixed name would silently resume across datasets and
+        # skip the new run's trials via the COMPLETE-count subtraction).
+        study_name = args.study_name
+        if study_name is None and args.storage:
+            import hashlib
+
+            sig = hashlib.sha1()
+            sig.update(os.path.abspath(args.path).encode())
+            sig.update(b"\0")
+            with open(args.optuna_parameter_file, "rb") as sf:
+                sig.update(sf.read())
+            sig.update(b"\0" + args.fixed_parameters.encode())
+            study_name = f"gru4rec_paropt_{sig.hexdigest()[:12]}"
+            print(f"Using derived study name: {study_name}")
         study = optuna.create_study(
             direction="maximize", storage=args.storage,
             study_name=study_name, load_if_exists=args.storage is not None,
