@@ -270,20 +270,25 @@ class GRU4Rec:
             if checkpoint_every and checkpoint_path and (epoch + 1) % checkpoint_every == 0:
                 from gru4rec_tpu.io.checkpoint import save_train_checkpoint
 
-                self._train_state = state
-                self.params = state.params
-                save_train_checkpoint(self, state, epoch + 1, checkpoint_path)
+                if mesh is not None:
+                    # checkpoints always store the canonical single-device
+                    # layout (per-shard kernel scratch rows stripped); resume
+                    # re-shards and re-appends them via shard_train_state
+                    from gru4rec_tpu.parallel.dist_step import unshard_train_state
+
+                    ckpt_state = unshard_train_state(state, cfg, mesh)
+                else:
+                    ckpt_state = state
+                self._train_state = ckpt_state
+                self.params = ckpt_state.params
+                save_train_checkpoint(self, ckpt_state, epoch + 1, checkpoint_path)
                 print(f"Checkpoint saved to {checkpoint_path} (epoch {epoch + 1})")
         if mesh is not None:
-            # gather sharded params back to host-local arrays so the
-            # single-device eval/serving paths work unchanged (key left as-is)
-            gather = lambda t: jax.tree_util.tree_map(
-                lambda x: jnp.asarray(np.asarray(x)), t
-            )
-            state = state._replace(
-                params=gather(state.params), opt_state=gather(state.opt_state),
-                H=gather(state.H), step=jnp.asarray(np.asarray(state.step)),
-            )
+            # gather sharded params back to host-local arrays in the canonical
+            # layout so the single-device eval/serving paths work unchanged
+            from gru4rec_tpu.parallel.dist_step import unshard_train_state
+
+            state = unshard_train_state(state, cfg, mesh)
         self._train_state = state
         self.params = state.params
         self.H = state.H

@@ -1,13 +1,14 @@
-"""Pallas TPU kernel: fused row-sparse adagrad(+momentum) update, group-blocked.
+"""Pallas TPU kernels: fused row-sparse optimizer updates, group-blocked.
 
 The spiritual successor of the reference's one hand-written hot kernel
 (``GpuAdvancedSubtensor1_fast``, custom_theano_ops.py:409-595 — a faster row
-gather/scatter for the per-step item-table updates). XLA's row scatters stop
-updating in place once the table outgrows fast memory (~100k rows on v5e) and
-fall back to materializing a full-table copy per scatter — at a Rees46-sized
-table (200k x 513) that is ~1.8 ms PER SCATTER. This kernel updates
-parameter + adagrad accumulator (+ momentum velocity) rows in one pass whose
-cost is proportional to the number of touched rows.
+gather/scatter serving the per-step item-table updates of EVERY optimizer).
+XLA's row scatters stop updating in place once the table outgrows fast memory
+(~100k rows on v5e) and fall back to materializing a full-table copy per
+scatter — at a Rees46-sized table (200k x 513) that is ~1.8 ms PER SCATTER.
+These kernels update parameter + optimizer-state rows in one pass whose cost
+is proportional to the number of touched rows. Covered: adagrad, rmsprop and
+adam (+ momentum/L2 for each); adadelta keeps the XLA path.
 
 Design (v2 — "group-blocked"): Mosaic requires block shapes whose last two
 dims are (8k, 128m) or equal to the array dims, so arbitrary single rows of a
@@ -19,7 +20,7 @@ natural 2-D layout and works on the 8-row GROUPS the (8,128) tiling already
 defines:
 
 * the (sorted, deduped) touched rows are bucketed by row-group ``r >> 3``;
-  each distinct group becomes one grid step whose table/acc/vel blocks are
+  each distinct group becomes one grid step whose table/state blocks are
   the aligned (8, d) slice — a legal block spec, bit-compatible with the
   table's natural tiles;
 * gradient rows are pre-packed (one XLA gather) into a group-aligned
@@ -27,20 +28,23 @@ defines:
   group's block and non-member sublanes are ZERO — for adagrad a zero
   gradient row is an exact no-op, so untouched rows in a visited group pass
   through bit-identically without masking;
-* momentum / L2 terms are not no-ops under zero gradient, so those variants
-  additionally take a per-group member bitmask (scalar-prefetched) and
-  ``where`` the non-members back to their inputs;
+* updates that are NOT no-ops under zero gradient (EMA decay of
+  rmsprop/adam state, momentum velocity, L2) take a per-group member
+  bitmask (scalar-prefetched) and ``where`` the non-members back to their
+  inputs;
+* adam's bias corrections depend on per-row step counts, which live OUTSIDE
+  the kernel as a 1-D f32 array updated with cheap XLA ops; the per-slot
+  correction factors enter the kernel as packed (8K, 1) columns;
 * padded grid steps (the group list is padded to static length) point at a
   dedicated all-padding dummy group (models/gru.py pad_items guarantees >= 8
   spare rows) so their write-backs can never clobber a real group — the grid
   is sequential, but block DMAs are pipelined, so two grid steps must never
   target the same block.
 
-Dispatch: used by train/optimizers.py when the optimizer is adagrad and the
-table is large enough for XLA's scatters to lose (``rows >= PALLAS_MIN_ROWS``).
-All other cases take the XLA path, which doubles as this kernel's
-differential-test oracle (the reference's own disable_custom_op pattern,
-gpu_ops.py:13-27).
+Dispatch: used by train/optimizers.py when the table is large enough for
+XLA's scatters to lose (``rows >= PALLAS_MIN_ROWS``). All other cases take
+the XLA path, which doubles as these kernels' differential-test oracle (the
+reference's own disable_custom_op pattern, gpu_ops.py:13-27).
 """
 
 from __future__ import annotations
@@ -62,7 +66,7 @@ def _kernels_available() -> bool:
         return False
 
 
-def group_pack(idx, g, n_rows):
+def group_pack(idx, g, n_rows, return_slot_rows: bool = False):
     """Sort raw (possibly duplicated / sentinel-masked) scatter indices,
     bucket them by 8-row group, and pack gradients group-aligned — with the
     duplicate-index summing folded into the packing scatter, so the kernel
@@ -74,19 +78,24 @@ def group_pack(idx, g, n_rows):
       padded steps point at the dummy group ``n_rows//8 - 1`` (all padding
       rows by pad_items' >= 8 spare-row guarantee);
     * ``mask``  (K,) int32 — per grid step, bit ``b`` set iff sublane ``b``
-      is a real member (only consumed by the momentum/L2 kernel variants);
+      is a real member (consumed by the masked kernel variants);
     * ``gpad``  (8K, d) — gradient rows scatter-ADDED to slot
       ``8*group_slot + (row & 7)`` (duplicate occurrences of a row share a
-      slot and sum — the dedup semantics); all other slots zero.
+      slot and sum — the dedup semantics); all other slots zero;
+    * with ``return_slot_rows``: ``slot_rows`` (8K,) int32 — the global row
+      id occupying each slot (each distinct touched row exactly once,
+      ascending; drop-sentinel elsewhere) — the adam path's count-update /
+      bias-correction index.
     """
     K = idx.shape[0]
     d = g.shape[-1]
+    sentinel = jnp.int32(np.iinfo(np.int32).max)
     dummy_blk = n_rows // 8 - 1
     ar = jnp.arange(K, dtype=jnp.int32)
     sidx, order = jax.lax.sort((idx.astype(jnp.int32), ar), num_keys=1)
     sg = jnp.take(g, order, axis=0)
     valid = sidx < n_rows
-    gid = jnp.where(valid, sidx >> 3, jnp.int32(np.iinfo(np.int32).max))
+    gid = jnp.where(valid, sidx >> 3, sentinel)
     ghead = jnp.concatenate([jnp.ones((1,), bool), gid[1:] != gid[:-1]])
     gslot = jnp.cumsum(ghead.astype(jnp.int32)) - 1  # group slot per occurrence
 
@@ -105,22 +114,34 @@ def group_pack(idx, g, n_rows):
     gpad = jnp.zeros((8 * K, d), g.dtype).at[slot].add(
         sg, mode="drop", indices_are_sorted=True
     )
-    return gblk, mask, gpad
+    if not return_slot_rows:
+        return gblk, mask, gpad
+    first_slot = jnp.where(valid & head, slot, 8 * K)
+    slot_rows = jnp.full((8 * K,), sentinel).at[first_slot].set(
+        sidx, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    return gblk, mask, gpad, slot_rows
 
 
-@partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "interpret"))
-def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
-                         momentum: float, lmbd: float, interpret: bool = False):
-    """Group-blocked fused update over the touched rows of a 2-D table:
+def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
+                  corr2, *, lr, momentum, lmbd, v1, v2, interpret):
+    """Shared group-blocked kernel body for adagrad / rmsprop / adam.
 
-        acc[r]   += g[r]^2                 (adagrad accumulator)
-        gs        = g[r] / sqrt(acc[r]+eps)
+    Update math per touched row r (g already duplicate-summed by group_pack):
+
+        adagrad:  acc += g^2;                        gs = g/sqrt(acc+eps)
+        rmsprop:  acc  = v1*acc + (1-v1)*g^2;        gs = g/sqrt(acc+eps)
+        adam:     acc  = v2*acc + (1-v2)*g^2
+                  meang= v1*meang + (1-v1)*g
+                  gs   = (meang/corr1) / (sqrt(acc/corr2) + eps)
         delta     = lr * (gs + lmbd * table[r])
-        vel[r]    = momentum * vel[r] - delta   (if momentum > 0)
-        table[r] += vel[r]                      (or -= delta without momentum)
+        vel[r]    = momentum * vel[r] - delta        (if momentum > 0)
+        table[r] += vel[r]                           (or -= delta)
 
-    ``gblk``/``mask``/``gpad`` come from :func:`group_pack`. ``vel`` may be
-    None when momentum == 0. Returns (table, acc, vel).
+    ``meang``/``corr1``/``corr2`` are adam-only (None otherwise); ``vel`` may
+    be None when momentum == 0. State may be stored narrow (opt_state_dtype);
+    math runs in f32 and the UNROUNDED values update the table — exactly like
+    the XLA path (train/optimizers.py).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -128,7 +149,10 @@ def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
     n_rows, d = table.shape
     K = gblk.shape[0]
     has_momentum = momentum > 0
-    needs_mask = has_momentum or lmbd > 0
+    is_adam = adapt == "adam"
+    # zero gradient is an exact no-op only for adagrad's monotone sum; EMA
+    # state, momentum, and L2 all move under zero g and need the member mask
+    needs_mask = has_momentum or lmbd > 0 or adapt != "adagrad"
     if vel is None:
         vel = jnp.zeros((8, d), table.dtype)  # dummy, only block 0 is read
 
@@ -143,69 +167,140 @@ def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
     def g_map(j, gblk_ref, mask_ref):
         return (j, 0)
 
-    vel_dtype = vel.dtype
+    acc_dtype, vel_dtype = acc.dtype, vel.dtype
+    meang_dtype = meang.dtype if is_adam else None
 
-    def kernel(gblk_ref, mask_ref, t_ref, a_ref, v_ref, g_ref,
-               to_ref, ao_ref, vo_ref):
+    def kernel(gblk_ref, mask_ref, *refs):
+        if is_adam:
+            (t_ref, a_ref, m_ref, v_ref, g_ref, c1_ref, c2_ref,
+             to_ref, ao_ref, mo_ref, vo_ref) = refs
+        else:
+            t_ref, a_ref, v_ref, g_ref, to_ref, ao_ref, vo_ref = refs
         g = g_ref[...]
-        acc_new = a_ref[...] + g * g
-        # divide by sqrt (not multiply by rsqrt): rsqrt rounds differently
-        # and the 1-ulp difference vs the XLA oracle path compounds over a
-        # training run
-        gs = g / jnp.sqrt(acc_new + EPSILON)
         if needs_mask:
             j = pl.program_id(0)
             bits = mask_ref[j]
             rowid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             member = ((bits >> rowid) & 1) > 0
+        if adapt == "adagrad":
+            acc_new = a_ref[...] + g * g  # zero-g rows: exact no-op
+            # divide by sqrt (not multiply by rsqrt): rsqrt rounds differently
+            # and the 1-ulp difference vs the XLA oracle path compounds over a
+            # training run
+            gs = g / jnp.sqrt(acc_new + EPSILON)
+            ao_ref[...] = acc_new
+        elif adapt == "rmsprop":
+            a_old = a_ref[...].astype(jnp.float32)
+            acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g, a_old)
+            gs = g / jnp.sqrt(acc_new + EPSILON)
+            ao_ref[...] = acc_new.astype(acc_dtype)
+        else:  # adam
+            a_old = a_ref[...].astype(jnp.float32)
+            m_old = m_ref[...].astype(jnp.float32)
+            acc_new = jnp.where(member, v2 * a_old + (1.0 - v2) * g * g, a_old)
+            m_new = jnp.where(member, v1 * m_old + (1.0 - v1) * g, m_old)
+            gs = (m_new / c1_ref[...]) / (jnp.sqrt(acc_new / c2_ref[...])
+                                          + EPSILON)
+            ao_ref[...] = acc_new.astype(acc_dtype)
+            mo_ref[...] = m_new.astype(meang_dtype)
         if lmbd > 0:
             delta = lr * (gs + lmbd * t_ref[...])
         else:
             delta = lr * gs
         if has_momentum:
-            # velocity may be stored narrow (opt_state_dtype); math runs in
-            # f32 and the UNROUNDED v2 updates the table — exactly like the
-            # XLA path (train/optimizers.py)
             v_old = v_ref[...].astype(jnp.float32)
-            v2 = momentum * v_old - delta
-            v2 = jnp.where(member, v2, v_old)
-            vo_ref[...] = v2.astype(vel_dtype)
-            to_ref[...] = t_ref[...] + jnp.where(member, v2, 0.0)
+            vnew = momentum * v_old - delta
+            vnew = jnp.where(member, vnew, v_old)
+            vo_ref[...] = vnew.astype(vel_dtype)
+            to_ref[...] = t_ref[...] + jnp.where(member, vnew, 0.0)
         else:
             vo_ref[...] = v_ref[...]
-            if lmbd > 0:
+            if needs_mask:
                 to_ref[...] = t_ref[...] - jnp.where(member, delta, 0.0)
             else:
-                # zero gradient rows give delta == 0: exact no-op, no mask
+                # adagrad, no L2: zero-g rows give delta == 0 exactly
                 to_ref[...] = t_ref[...] - delta
-        ao_ref[...] = acc_new  # zero-g rows: acc unchanged exactly
+
+    in_specs = [
+        pl.BlockSpec((8, d), blk_map),   # table
+        pl.BlockSpec((8, d), blk_map),   # acc
+    ]
+    inputs = [table, acc]
+    out_specs = [
+        pl.BlockSpec((8, d), blk_map),
+        pl.BlockSpec((8, d), blk_map),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(table.shape, table.dtype),
+        jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+    ]
+    aliases = {2: 0, 3: 1}  # inputs 2.. are offset by the 2 scalar-prefetch args
+    if is_adam:
+        in_specs.append(pl.BlockSpec((8, d), blk_map))
+        inputs.append(meang)
+        out_specs.append(pl.BlockSpec((8, d), blk_map))
+        out_shape.append(jax.ShapeDtypeStruct(meang.shape, meang.dtype))
+        aliases[4] = 2
+    vel_pos = len(inputs) + 2
+    in_specs.append(pl.BlockSpec((8, d), vel_map))
+    inputs.append(vel)
+    out_specs.append(pl.BlockSpec((8, d), vel_map))
+    out_shape.append(jax.ShapeDtypeStruct(vel.shape, vel.dtype))
+    aliases[vel_pos] = len(out_shape) - 1
+    in_specs.append(pl.BlockSpec((8, d), g_map))
+    inputs.append(gpad)
+    if is_adam:
+        for c in (corr1, corr2):
+            in_specs.append(pl.BlockSpec((8, 1), g_map))
+            inputs.append(c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(K,),
-        in_specs=[
-            pl.BlockSpec((8, d), blk_map),
-            pl.BlockSpec((8, d), blk_map),
-            pl.BlockSpec((8, d), vel_map),
-            pl.BlockSpec((8, d), g_map),
-        ],
-        out_specs=[
-            pl.BlockSpec((8, d), blk_map),
-            pl.BlockSpec((8, d), blk_map),
-            pl.BlockSpec((8, d), vel_map),
-        ],
+        num_scalar_prefetch=2, grid=(K,), in_specs=in_specs,
+        out_specs=out_specs,
     )
-    t_out, a_out, v_out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(table.shape, table.dtype),
-            jax.ShapeDtypeStruct(acc.shape, acc.dtype),
-            jax.ShapeDtypeStruct(vel.shape, vel.dtype),
-        ],
-        # alias (gblk, mask, table, acc, vel, gpad) inputs 2..4 onto outputs
-        input_output_aliases={2: 0, 3: 1, 4: 2},
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases=aliases, interpret=interpret,
+    )(gblk, mask, *inputs)
+    if is_adam:
+        t_out, a_out, m_out, v_out = outs
+    else:
+        t_out, a_out, v_out = outs
+        m_out = None
+    v_out = v_out if has_momentum else None
+    return t_out, a_out, m_out, v_out
+
+
+@partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "interpret"))
+def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
+                         momentum: float, lmbd: float, interpret: bool = False):
+    t, a, _, v = _fused_update(
+        "adagrad", table, acc, None, vel, gblk, mask, gpad, None, None,
+        lr=lr, momentum=momentum, lmbd=lmbd, v1=0.0, v2=0.0,
         interpret=interpret,
-    )(gblk, mask, table, acc, vel, gpad)
-    vel = v_out if has_momentum else None
-    return t_out, a_out, vel
+    )
+    return t, a, v
+
+
+@partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "v1", "interpret"))
+def fused_rmsprop_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
+                         momentum: float, lmbd: float, v1: float,
+                         interpret: bool = False):
+    t, a, _, v = _fused_update(
+        "rmsprop", table, acc, None, vel, gblk, mask, gpad, None, None,
+        lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=0.0,
+        interpret=interpret,
+    )
+    return t, a, v
+
+
+@partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "v1", "v2",
+                                   "interpret"))
+def fused_adam_update(table, acc, meang, vel, gblk, mask, gpad, corr1, corr2,
+                      *, lr: float, momentum: float, lmbd: float, v1: float,
+                      v2: float, interpret: bool = False):
+    return _fused_update(
+        "adam", table, acc, meang, vel, gblk, mask, gpad, corr1, corr2,
+        lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
+        interpret=interpret,
+    )

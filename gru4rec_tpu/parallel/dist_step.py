@@ -37,21 +37,87 @@ from gru4rec_tpu.train.optimizers import make_optimizer
 from gru4rec_tpu.train.step import SENTINEL, init_train_state, merge_dense, split_params
 
 
+# Per-shard scratch rows appended to every row-shard of an item table: the
+# grouped Pallas kernel parks padded grid steps on the shard's LAST 8-row
+# group, which must contain no real item row (ops/kernels/sparse_update.py).
+# Whole tables get this from models/gru.py pad_items; arbitrary row-shards
+# need it appended per shard.
+SCRATCH_ROWS = 8
+
+
+def _expand_scratch(arr, nm: int):
+    """(n_pad, ...) -> (n_pad + 8*nm, ...): append SCRATCH_ROWS zero rows to
+    each of the nm row-shards (shard-interleaved layout)."""
+    arr = np.asarray(arr)
+    n = arr.shape[0]
+    L = n // nm
+    blocks = arr.reshape((nm, L) + arr.shape[1:])
+    pad = np.zeros((nm, SCRATCH_ROWS) + arr.shape[1:], arr.dtype)
+    out = np.concatenate([blocks, pad], axis=1)
+    return jnp.asarray(out.reshape((n + SCRATCH_ROWS * nm,) + arr.shape[1:]))
+
+
+def _strip_scratch(arr, nm: int):
+    """Inverse of _expand_scratch (gathers to host numpy)."""
+    arr = np.asarray(arr)
+    Lp = arr.shape[0] // nm
+    blocks = arr.reshape((nm, Lp) + arr.shape[1:])[:, : Lp - SCRATCH_ROWS]
+    return jnp.asarray(
+        blocks.reshape((arr.shape[0] - SCRATCH_ROWS * nm,) + arr.shape[1:])
+    )
+
+
+def _map_item_tables(params, fn, mode):
+    """Apply ``fn`` to the row-sharded item tables of a parameter dict."""
+    out = dict(params)
+    out["Wy"] = fn(params["Wy"])
+    if mode == "embedding" and "E" in params:
+        out["E"] = fn(params["E"])
+    if mode == "onehot":
+        out["Wx"] = [fn(params["Wx"][0])] + list(params["Wx"][1:])
+    return out
+
+
 def shard_train_state(state, cfg: GRU4RecConfig, mesh):
-    """Place a freshly-initialized TrainState according to the mesh layout."""
+    """Place a freshly-initialized TrainState according to the mesh layout,
+    appending per-shard kernel scratch rows to the item tables (and their
+    row-sparse optimizer state)."""
     mode = gru.input_mode(cfg)
-    pspec = param_pspecs(state.params, mode)
-    sspec = state_pspecs(state.opt_state, state.params, mode)
+    nm = mesh.shape["model"]
+    expand = lambda a: _expand_scratch(a, nm)
+    params_x = _map_item_tables(state.params, expand, mode)
+    opt_state_x = dict(state.opt_state)
+    opt_state_x["sparse"] = jax.tree_util.tree_map(
+        expand, state.opt_state["sparse"]
+    )
+    pspec = param_pspecs(params_x, mode)
+    sspec = state_pspecs(opt_state_x, params_x, mode)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    params = jax.tree_util.tree_map(put, state.params, pspec)
-    opt_state = jax.tree_util.tree_map(put, state.opt_state, sspec)
+    params = jax.tree_util.tree_map(put, params_x, pspec)
+    opt_state = jax.tree_util.tree_map(put, opt_state_x, sspec)
     H = tuple(put(h, P("data", None)) for h in state.H)
     key = put(state.key, P())
     step = put(state.step, P())
     return state._replace(params=params, opt_state=opt_state, H=H, key=key, step=step)
+
+
+def unshard_train_state(state, cfg: GRU4RecConfig, mesh):
+    """Gather a sharded TrainState back to host-local arrays in the canonical
+    single-device layout (per-shard scratch rows stripped)."""
+    mode = gru.input_mode(cfg)
+    nm = mesh.shape["model"]
+    strip = lambda a: _strip_scratch(a, nm)
+    host = lambda t: jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), t)
+    params = _map_item_tables(host(state.params), strip, mode)
+    opt_state = dict(host(state.opt_state))
+    opt_state["sparse"] = jax.tree_util.tree_map(strip, opt_state["sparse"])
+    return state._replace(
+        params=params, opt_state=opt_state, H=host(state.H),
+        key=host(state.key), step=jnp.asarray(np.asarray(state.step)),
+    )
 
 
 def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
@@ -71,7 +137,8 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
 
     def chunk_body(params, opt_state, H, key, step, in_c, out_c, valid_c, reset_c,
                    samp1, samp2, logp0):
-        rows_local = params["Wy"].shape[0]  # n_pad // nm
+        # local shard = n_pad//nm real rows + SCRATCH_ROWS kernel scratch rows
+        rows_local = params["Wy"].shape[0] - SCRATCH_ROWS
         mi = jax.lax.axis_index("model")
         di = jax.lax.axis_index("data")
         r0 = mi * rows_local
@@ -226,12 +293,12 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
                     table = new_params["Wx"][0]
                 else:
                     table = new_params[name]
-                # allow_kernel=False: on a model-sharded table only the LAST
-                # shard ends in padding rows, so the grouped Pallas kernel's
-                # dummy-group precondition does not hold shard-locally
+                # the fused kernel is shard-safe: every local shard carries
+                # SCRATCH_ROWS trailing padding rows (shard_train_state), so
+                # the grouped kernel's all-padding dummy group exists locally
                 table, new_sparse_state[name] = opt.apply_sparse(
                     table, idx_l, g, opt_state["sparse"][name],
-                    allow_kernel=False,
+                    allow_kernel=True,
                 )
                 if name == "Wx0":
                     new_params["Wx"] = [table] + list(new_params["Wx"][1:])

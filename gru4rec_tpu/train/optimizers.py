@@ -228,17 +228,17 @@ class Optimizer:
         return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
 
     def _use_fused_kernel(self, table, st) -> bool:
-        if self.adapt != "adagrad" or table.ndim != 2:
-            return False
+        if self.adapt not in ("adagrad", "rmsprop", "adam") or table.ndim != 2:
+            return False  # adadelta / plain SGD keep the XLA path
         # the grouped kernel needs 8-row-aligned tables and a final all-
         # padding group (guaranteed by models/gru.py pad_items for whole
-        # tables; NOT guaranteed for arbitrary shards)
+        # tables; for row-shards, by dist_step's per-shard scratch rows)
         if table.shape[0] % 8:
             return False
         # adagrad's accumulator always matches the param dtype (init_state);
         # a mismatch means an exotic hand-built state — take the XLA path.
-        # Narrow (bf16) velocity is handled natively by the kernel.
-        if st["acc"].dtype != table.dtype:
+        # Narrow (bf16) EMA state and velocity are handled natively.
+        if self.adapt == "adagrad" and st["acc"].dtype != table.dtype:
             return False
         if _FORCE_PALLAS is not None:
             return _FORCE_PALLAS
@@ -253,24 +253,56 @@ class Optimizer:
         ``key`` is accepted for API stability (rounding-dither hook) and
         currently unused. ``allow_kernel=False`` forces the XLA path — the
         grouped Pallas kernel requires the table's LAST 8-row group to be all
-        padding (models/gru.py pad_items), which does not hold for arbitrary
-        row-shards of a table (parallel/dist_step.py)."""
+        padding (models/gru.py pad_items; parallel/dist_step.py appends
+        per-shard scratch rows to guarantee it shard-locally)."""
         if allow_kernel and self._use_fused_kernel(table, st):
             import jax
 
             from gru4rec_tpu.ops.kernels.sparse_update import (
-                fused_adagrad_update, group_pack)
+                fused_adagrad_update, fused_adam_update, fused_rmsprop_update,
+                group_pack)
 
             interpret = jax.default_backend() != "tpu"
             # group_pack folds the duplicate-index summing into its packing
             # scatter, so the kernel path skips dedup_rows entirely
-            gblk, mask, gpad = group_pack(idx, g, table.shape[0])
-            table, acc, vel = fused_adagrad_update(
-                table, st["acc"], st.get("velocity"), gblk, mask, gpad,
-                lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
-                interpret=interpret,
-            )
-            st = {**st, "acc": acc}
+            if self.adapt == "adam":
+                gblk, mask, gpad, slot_rows = group_pack(
+                    idx, g, table.shape[0], return_slot_rows=True)
+                # per-row step counts + bias corrections live OUTSIDE the
+                # kernel (cheap 1-D XLA gather/scatter); the kernel consumes
+                # packed per-slot correction columns
+                cnt = st["count"].at[slot_rows].get(
+                    mode="fill", fill_value=0.0, indices_are_sorted=True,
+                    unique_indices=True,
+                ).astype(jnp.float32) + 1.0
+                count_new = st["count"].at[slot_rows].set(
+                    cnt.astype(st["count"].dtype), mode="drop",
+                    indices_are_sorted=True, unique_indices=True,
+                )
+                corr1 = (1.0 - self.v1 ** cnt)[:, None]
+                corr2 = (1.0 - self.v2 ** cnt)[:, None]
+                table, acc, meang, vel = fused_adam_update(
+                    table, st["acc"], st["meang"], st.get("velocity"),
+                    gblk, mask, gpad, corr1, corr2,
+                    lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
+                    v1=self.v1, v2=self.v2, interpret=interpret,
+                )
+                st = {**st, "acc": acc, "meang": meang, "count": count_new}
+            else:
+                gblk, mask, gpad = group_pack(idx, g, table.shape[0])
+                if self.adapt == "adagrad":
+                    table, acc, vel = fused_adagrad_update(
+                        table, st["acc"], st.get("velocity"), gblk, mask,
+                        gpad, lr=self.lr, momentum=self.momentum,
+                        lmbd=self.lmbd, interpret=interpret,
+                    )
+                else:
+                    table, acc, vel = fused_rmsprop_update(
+                        table, st["acc"], st.get("velocity"), gblk, mask,
+                        gpad, lr=self.lr, momentum=self.momentum,
+                        lmbd=self.lmbd, v1=self.v1, interpret=interpret,
+                    )
+                st = {**st, "acc": acc}
             if vel is not None:
                 st["velocity"] = vel
             return table, st

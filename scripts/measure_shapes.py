@@ -1,0 +1,115 @@
+"""Steady-state per-step timing of published dataset shapes on the real TPU.
+
+Methodology (PERF_NOTES.md / memory): dispatch N chained chunk calls, sync
+once via float(loss); per-step time = wall / (N * chunk). Epoch-1 compile is
+excluded by a warmup chunk. Emits one JSON line per run to stdout.
+
+Usage: python scripts/measure_shapes.py [tag ...]
+Tags select shape/optimizer/kernel combos; default runs everything.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+import gru4rec_tpu.train.optimizers as optmod
+from gru4rec_tpu.config import GRU4RecConfig
+from gru4rec_tpu.models import gru
+from gru4rec_tpu.ops.sampling import build_alias_table
+from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
+
+CHUNK = 256
+N_CHUNKS = 8
+
+SHAPES = {
+    "retailrocket": dict(n_items=36_968, layers=[224], batch_size=80,
+                         loss="bpr-max", final_act="elu-0.5", momentum=0.4,
+                         sample_alpha=0.4, bpreg=1.95, logq=0.0),
+    "rees46": dict(n_items=200_000, layers=[512], batch_size=240,
+                   loss="cross-entropy", final_act="softmax", momentum=0.0,
+                   sample_alpha=0.5, logq=1.0),
+    "diginetica": dict(n_items=43_000, layers=[512], batch_size=128,
+                       loss="bpr-max", final_act="elu-1", momentum=0.15,
+                       sample_alpha=0.3, bpreg=0.9, logq=0.0),
+    "yoochoose": dict(n_items=37_000, layers=[480], batch_size=48,
+                      loss="cross-entropy", final_act="softmax", momentum=0.0,
+                      sample_alpha=0.2, logq=1.0),
+}
+
+
+def run(shape_name, adapt="adagrad", force_pallas=None):
+    sh = dict(SHAPES[shape_name])
+    n_items = sh.pop("n_items")
+    cfg = GRU4RecConfig(
+        n_sample=2048, learning_rate=0.05, adapt=adapt,
+        constrained_embedding=True, chunk_size=CHUNK,
+        dropout_p_embed=0.0, dropout_p_hidden=0.0, **sh,
+    )
+    optmod._FORCE_PALLAS = force_pallas
+    rng = np.random.RandomState(0)
+    B = cfg.batch_size
+    ranks = np.arange(1, n_items + 1, dtype=np.float64)
+    p = (1.0 / ranks ** 0.8)
+    pop = np.maximum((p / p.sum() * 5_000_000).astype(np.int64), 1)
+    in_c = rng.randint(0, n_items, (CHUNK, B)).astype(np.int32)
+    out_c = rng.randint(0, n_items, (CHUNK, B)).astype(np.int32)
+    valid = np.ones((CHUNK, B), bool)
+    reset = rng.rand(CHUNK, B) < 0.18
+    n_pad = gru.pad_items(n_items, cfg.item_pad_multiple)
+    logp0 = np.zeros(n_pad, np.float32)
+    logp0[:n_items] = np.log(pop.astype(np.float64))
+    samp1 = build_alias_table(pop, cfg.sample_alpha).packed
+    samp2 = jnp.zeros((1,), jnp.int32)
+    logp0_j = jnp.asarray(logp0)
+    args = tuple(jnp.asarray(a) for a in (in_c, out_c, valid, reset))
+
+    state = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
+    fn = make_chunk_fn(cfg, n_items)
+    state, ls, ec = fn(state, *args, samp1, samp2, logp0_j)  # compile+warm
+    float(ls)
+    t0 = time.time()
+    for _ in range(N_CHUNKS):
+        state, ls, ec = fn(state, *args, samp1, samp2, logp0_j)
+    float(ls)
+    dt = time.time() - t0
+    us_per_step = dt / (N_CHUNKS * CHUNK) * 1e6
+    ev_per_s = B * (N_CHUNKS * CHUNK) / dt
+    print(json.dumps({
+        "shape": shape_name, "adapt": adapt,
+        "kernel": ("auto" if force_pallas is None else
+                   ("on" if force_pallas else "off")),
+        "us_per_step": round(us_per_step, 1),
+        "events_per_s": round(ev_per_s, 0),
+    }), flush=True)
+
+
+RUNS = [
+    ("rees46", "adagrad", None),
+    ("rees46", "rmsprop", True),
+    ("rees46", "rmsprop", False),
+    ("rees46", "adam", True),
+    ("rees46", "adam", False),
+    ("diginetica", "adagrad", True),
+    ("diginetica", "adagrad", False),
+    ("yoochoose", "adagrad", True),
+    ("yoochoose", "adagrad", False),
+    ("retailrocket", "adagrad", None),
+]
+
+if __name__ == "__main__":
+    tags = sys.argv[1:]
+    for shape, adapt, force in RUNS:
+        if tags and shape not in tags:
+            continue
+        try:
+            run(shape, adapt, force)
+        except Exception as e:
+            print(json.dumps({"shape": shape, "adapt": adapt, "error": str(e)}),
+                  flush=True)

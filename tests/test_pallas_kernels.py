@@ -11,14 +11,16 @@ from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.train.optimizers import make_optimizer
 
 
+@pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adam"])
 @pytest.mark.parametrize("momentum", [0.0, 0.4])
 @pytest.mark.parametrize("lmbd", [0.0, 0.01])
 @pytest.mark.parametrize("with_dupes_and_sentinels", [False, True])
-def test_fused_adagrad_matches_xla(momentum, lmbd, with_dupes_and_sentinels, monkeypatch):
+def test_fused_update_matches_xla(adapt, momentum, lmbd,
+                                  with_dupes_and_sentinels, monkeypatch):
     rng = np.random.RandomState(0)
     n_rows, d, n_idx = 64, 16, 24
-    cfg = GRU4RecConfig(adapt="adagrad", momentum=momentum, lmbd=lmbd,
-                        learning_rate=0.1)
+    cfg = GRU4RecConfig(adapt=adapt, momentum=momentum, lmbd=lmbd,
+                        learning_rate=0.1, opt_state_dtype="float32")
     table = rng.randn(n_rows, d).astype(np.float32)
     # last 8 rows = padding (models/gru.py pad_items guarantees >= 8 spare
     # rows; the grouped kernel parks padded grid steps on the final group)
@@ -33,8 +35,9 @@ def test_fused_adagrad_matches_xla(momentum, lmbd, with_dupes_and_sentinels, mon
     def run(force):
         monkeypatch.setattr(optmod, "_FORCE_PALLAS", force)
         opt = make_optimizer(cfg)
-        st = opt.init_state(jnp.asarray(table))
-        st = {k: v + 0.3 for k, v in st.items()}  # nontrivial state
+        st = opt.init_state(jnp.asarray(table), sparse=True)
+        # nontrivial state (count must stay integral for bias correction)
+        st = {k: v + (0.0 if k == "count" else 0.3) for k, v in st.items()}
         tbl = jnp.asarray(table)
         for _ in range(3):
             tbl, st = opt.apply_sparse(tbl, jnp.asarray(idx), jnp.asarray(g), st)
@@ -44,9 +47,43 @@ def test_fused_adagrad_matches_xla(momentum, lmbd, with_dupes_and_sentinels, mon
     t_pal, st_pal = run(True)
     np.testing.assert_allclose(t_pal, t_xla, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(st_pal["acc"], st_xla["acc"], rtol=1e-5, atol=1e-6)
+    if adapt == "adam":
+        np.testing.assert_allclose(st_pal["meang"], st_xla["meang"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(st_pal["count"], st_xla["count"])
     if momentum > 0:
         np.testing.assert_allclose(st_pal["velocity"], st_xla["velocity"],
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("adapt", ["rmsprop", "adam"])
+def test_fused_update_narrow_state(adapt, monkeypatch):
+    """Narrow (bf16) EMA state: kernel and XLA paths must round identically
+    (f32 math, storage-dtype rounding only on the persisted rows)."""
+    rng = np.random.RandomState(1)
+    n_rows, d, n_idx = 64, 16, 20
+    cfg = GRU4RecConfig(adapt=adapt, momentum=0.4, learning_rate=0.1,
+                        adapt_params=[0.9, 0.95], opt_state_dtype="bfloat16")
+    table = rng.randn(n_rows, d).astype(np.float32)
+    idx = rng.choice(n_rows - 8, n_idx, replace=False).astype(np.int32)
+    g = rng.randn(n_idx, d).astype(np.float32) * 0.1
+
+    def run(force):
+        monkeypatch.setattr(optmod, "_FORCE_PALLAS", force)
+        opt = make_optimizer(cfg)
+        st = opt.init_state(jnp.asarray(table), sparse=True)
+        tbl = jnp.asarray(table)
+        for _ in range(3):
+            tbl, st = opt.apply_sparse(tbl, jnp.asarray(idx), jnp.asarray(g), st)
+        return np.asarray(tbl), {k: np.asarray(v, np.float32) for k, v in st.items()}
+
+    t_xla, st_xla = run(False)
+    t_pal, st_pal = run(True)
+    assert st_pal["acc"].dtype == np.float32  # cast back for comparison
+    np.testing.assert_allclose(t_pal, t_xla, rtol=1e-5, atol=1e-6)
+    for k in st_xla:
+        np.testing.assert_allclose(st_pal[k], st_xla[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
 
 
 def test_fit_with_forced_pallas_matches_xla(monkeypatch):

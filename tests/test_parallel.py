@@ -34,18 +34,15 @@ def _mk_inputs(cfg, n_items, seed=0):
     return in_c, out_c, valid_c, reset_c, cdf, samp2, logp0
 
 
-@pytest.mark.parametrize("mode_kwargs", [
-    {"constrained_embedding": True},
-    {"embedding": 16},
-    {},
-])
-@pytest.mark.parametrize("loss", ["bpr-max", "cross-entropy"])
-def test_dist_matches_single_device(mode_kwargs, loss):
+def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad"):
+    from gru4rec_tpu.parallel.dist_step import _strip_scratch
+
     n_items = 90
     cfg = GRU4RecConfig(
         loss=loss, final_act="softmax" if loss == "cross-entropy" else "elu-1",
         layers=[16], batch_size=8, n_sample=12, chunk_size=5,
         item_pad_multiple=32, learning_rate=0.1, momentum=0.2, logq=1.0,
+        adapt=adapt,
         dropout_p_hidden=0.0, dropout_p_embed=0.0, sampler="searchsorted",
         # bf16 matmuls round differently under sharded vs single-device
         # operand blocking, and stochastically-rounded narrow optimizer state
@@ -63,20 +60,21 @@ def test_dist_matches_single_device(mode_kwargs, loss):
     s1, loss1, ev1 = f1(s1, *args[:4], args[4], args[5], args[6])
 
     # 2 data x 4 model mesh
-    mesh = make_mesh(2, 4)
+    nm = 4
+    mesh = make_mesh(2, nm)
     s2 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
     s2 = shard_train_state(s2, cfg, mesh)
     f2 = make_dist_chunk_fn(cfg, n_items, mesh)
     out = f2(s2.params, s2.opt_state, s2.H, s2.key, s2.step, *args[:4], args[4], args[5], args[6])
     params2, _, H2, _, _, loss2, ev2 = out
+    strip = lambda a: np.asarray(_strip_scratch(a, nm))
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
     assert float(ev1) == float(ev2)
-    for k in ("Wy",):
-        np.testing.assert_allclose(
-            np.asarray(s1.params[k]), np.asarray(params2[k]), rtol=2e-4, atol=1e-6,
-            err_msg=k,
-        )
+    np.testing.assert_allclose(
+        np.asarray(s1.params["Wy"]), strip(params2["Wy"]), rtol=2e-4, atol=1e-6,
+        err_msg="Wy",
+    )
     for i in range(len(cfg.layers)):
         np.testing.assert_allclose(
             np.asarray(s1.params["Wh"][i]), np.asarray(params2["Wh"][i]),
@@ -87,13 +85,36 @@ def test_dist_matches_single_device(mode_kwargs, loss):
         )
     if "E" in s1.params:
         np.testing.assert_allclose(
-            np.asarray(s1.params["E"]), np.asarray(params2["E"]), rtol=2e-4, atol=1e-6
+            np.asarray(s1.params["E"]), strip(params2["E"]), rtol=2e-4, atol=1e-6
         )
     if not mode_kwargs:  # one-hot: Wx0 is a sharded table
         np.testing.assert_allclose(
-            np.asarray(s1.params["Wx"][0]), np.asarray(params2["Wx"][0]),
+            np.asarray(s1.params["Wx"][0]), strip(params2["Wx"][0]),
             rtol=2e-4, atol=1e-6,
         )
+
+
+@pytest.mark.parametrize("mode_kwargs", [
+    {"constrained_embedding": True},
+    {"embedding": 16},
+    {},
+])
+@pytest.mark.parametrize("loss", ["bpr-max", "cross-entropy"])
+def test_dist_matches_single_device(mode_kwargs, loss):
+    _run_dist_vs_single(mode_kwargs, loss)
+
+
+@pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adam"])
+def test_dist_with_forced_kernel_matches_single_device(adapt, monkeypatch):
+    """The fused sparse-update kernel on SHARDED tables (per-shard scratch
+    rows provide the dummy group) must reproduce the single-device XLA-path
+    parameters."""
+    import gru4rec_tpu.train.optimizers as optmod
+
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS", True)
+    # single-device side also runs the (interpret-mode) kernel; parity with
+    # the XLA path is covered by test_pallas_kernels
+    _run_dist_vs_single({"constrained_embedding": True}, "bpr-max", adapt=adapt)
 
 
 def test_factor_mesh():
@@ -146,6 +167,58 @@ def test_fit_with_mesh_end_to_end():
     rec_s, _ = evaluate(m_single, data, cut_off=[1], batch_size=8)
     np.testing.assert_allclose(rec_d, rec_s, atol=0.02)
     assert rec_d[0] > 0.8
+
+
+def test_mesh_checkpoint_resume_roundtrip(tmp_path):
+    """Checkpoints taken during mesh training store the canonical layout
+    (per-shard kernel scratch rows stripped) and resume exactly — both on a
+    mesh and on a single device."""
+    import pandas as pd
+
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+    from gru4rec_tpu.models import gru
+
+    rng = np.random.RandomState(1)
+    rows, t = [], 0
+    for s in range(120):
+        i = rng.randint(24)
+        for _ in range(rng.randint(3, 7)):
+            rows.append((s, f"it{i}", t)); t += 1; i = (7 * i + 3) % 24
+    data = pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+
+    def cfg():
+        return GRU4RecConfig(loss="cross-entropy", final_act="softmax",
+                             layers=[16], batch_size=8, n_sample=8, n_epochs=3,
+                             chunk_size=32, item_pad_multiple=32,
+                             learning_rate=0.1, compute_dtype="float32",
+                             opt_state_dtype="float32")
+
+    mesh = make_mesh(2, 4)
+    ckpt = str(tmp_path / "mesh_ck.npz")
+
+    m_full = GRU4Rec(cfg())
+    m_full.fit(data, mesh=mesh)
+
+    m_a = GRU4Rec(cfg())
+    m_a.fit(data, mesh=mesh, n_epochs=2, checkpoint_every=2, checkpoint_path=ckpt)
+    n_pad = gru.pad_items(m_a.n_items, m_a.config.item_pad_multiple)
+    assert np.asarray(m_a.params["Wy"]).shape[0] == n_pad  # canonical, no scratch
+
+    # resume the third epoch on the mesh: must equal the uninterrupted run
+    m_b = GRU4Rec(cfg())
+    m_b.fit(data, resume=ckpt, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(m_full.params["Wy"]), np.asarray(m_b.params["Wy"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    # and resuming WITHOUT a mesh also works from the same file (canonical
+    # layout) and stays numerically together
+    m_c = GRU4Rec(cfg())
+    m_c.fit(data, resume=ckpt)
+    np.testing.assert_allclose(
+        np.asarray(m_full.params["Wy"]), np.asarray(m_c.params["Wy"]),
+        rtol=1e-3, atol=1e-5,
+    )
 
 
 @pytest.fixture(scope="module")
