@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import importlib
+import os
 import shutil
 import sys
 import time
@@ -73,10 +74,16 @@ def main(argv=None) -> int:
               "--parameter_string, --parameter_file, --load_model")
         return 1
 
-    if args.device:
+    # Platform selection: -d wins, then the JAX_PLATFORMS env var. The env
+    # var must be applied EXPLICITLY: a site-installed accelerator plugin
+    # (e.g. the axon TPU runtime) registers itself via sitecustomize before
+    # this process reads its environment, after which the env var alone is
+    # silently ignored — jax.config.update still works until first device use.
+    device = args.device or os.environ.get("JAX_PLATFORMS")
+    if device:
         import jax
 
-        jax.config.update("jax_platforms", args.device)
+        jax.config.update("jax_platforms", device)
 
     from collections import OrderedDict
 

@@ -44,12 +44,14 @@ SHAPES = {
 }
 
 
-def run(shape_name, adapt="adagrad", force_pallas=None):
+def run(shape_name, adapt="adagrad", force_pallas=None,
+        opt_state_dtype="bfloat16"):
     sh = dict(SHAPES[shape_name])
     n_items = sh.pop("n_items")
     cfg = GRU4RecConfig(
         n_sample=2048, learning_rate=0.05, adapt=adapt,
         constrained_embedding=True, chunk_size=CHUNK,
+        opt_state_dtype=opt_state_dtype,
         dropout_p_embed=0.0, dropout_p_hidden=0.0, **sh,
     )
     optmod._FORCE_PALLAS = force_pallas
@@ -85,6 +87,7 @@ def run(shape_name, adapt="adagrad", force_pallas=None):
         "shape": shape_name, "adapt": adapt,
         "kernel": ("auto" if force_pallas is None else
                    ("on" if force_pallas else "off")),
+        "opt_state_dtype": opt_state_dtype,
         "us_per_step": round(us_per_step, 1),
         "events_per_s": round(ev_per_s, 0),
     }), flush=True)

@@ -41,6 +41,10 @@ def run_cli(args):
         env={
             **__import__("os").environ,
             "GRU4REC_TPU_TEST_PLATFORM": "cpu",
+            # honored explicitly by cli/run.py; without it the children would
+            # silently train through the TPU tunnel (~2 min of remote compiles
+            # per subprocess)
+            "JAX_PLATFORMS": "cpu",
         },
     )
 
