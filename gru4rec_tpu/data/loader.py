@@ -16,30 +16,27 @@ import pandas as pd
 def load_data(fname: str, session_key: str = "SessionId", item_key: str = "ItemId",
               time_key: str = "Time") -> pd.DataFrame:
     """Load a TSV (.tsv/.txt) or pickled pandas.DataFrame (.pickle) dataset."""
+    def check_columns(available, source):
+        for key, role, default in (
+            (session_key, "session", "SessionId"),
+            (item_key, "item", "ItemId"),
+            (time_key, "timestamp", "Time"),
+        ):
+            if key not in available:
+                print(f"ERROR. {fname} has no {role}-ID column named {key!r} "
+                      f"(columns found in the {source}: {sorted(available)}).")
+                print(f"Pass the actual column name via the corresponding "
+                      f"*_key option, or rename it to the default {default!r}.")
+                sys.exit(1)
+
     if fname.endswith(".pickle"):
         print(f"Loading data from pickle file: {fname}")
         data = pd.read_pickle(fname)
-        for key, what, default in (
-            (session_key, "session IDs", "SessionId"),
-            (item_key, "item IDs", "ItemId"),
-            (time_key, "time", "Time"),
-        ):
-            if key not in data.columns:
-                print(f'ERROR. The column specified for {what} "{key}" is not in the data file ({fname})')
-                print(f'The default column name is "{default}", but you can specify otherwise by setting the appropriate key parameter.')
-                sys.exit(1)
+        check_columns(list(data.columns), "frame")
     else:
         with open(fname, "rt") as f:
             header = f.readline().strip().split("\t")
-        for key, what, default in (
-            (session_key, "session IDs", "SessionId"),
-            (item_key, "item IDs", "ItemId"),
-            (time_key, "time", "Time"),
-        ):
-            if key not in header:
-                print(f'ERROR. The column specified for {what} "{key}" is not in the data file ({fname})')
-                print(f'The default column name is "{default}", but you can specify otherwise by setting the appropriate key parameter.')
-                sys.exit(1)
+        check_columns(header, "header")
         print(f"Loading data from TAB separated file: {fname}")
         data = pd.read_csv(
             fname,

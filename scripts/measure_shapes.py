@@ -41,6 +41,12 @@ SHAPES = {
     "yoochoose": dict(n_items=37_000, layers=[480], batch_size=48,
                       loss="cross-entropy", final_act="softmax", momentum=0.0,
                       sample_alpha=0.2, logq=1.0),
+    "coveo": dict(n_items=10_000, layers=[512], batch_size=144,
+                  loss="bpr-max", final_act="elu-1", momentum=0.4,
+                  sample_alpha=0.2, bpreg=1.85, logq=0.0),
+    "rsc15": dict(n_items=37_000, layers=[100], batch_size=32,
+                  loss="cross-entropy", final_act="softmax", momentum=0.2,
+                  sample_alpha=0.5, logq=1.0),
 }
 
 
