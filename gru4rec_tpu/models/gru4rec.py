@@ -69,10 +69,18 @@ class GRU4Rec:
         return self
 
     def __getattr__(self, name):
+        # Reference-style attribute access (gru.layers, gru.loss, ...) is
+        # forwarded for CONFIG FIELDS ONLY: forwarding every cfg attribute
+        # would make typos on model attributes resolve against config
+        # methods and fail confusingly far from the call site.
+        import dataclasses
+
         cfg = object.__getattribute__(self, "config")
-        if hasattr(cfg, name):
+        if name in {f.name for f in dataclasses.fields(cfg)}:
             return getattr(cfg, name)
-        raise AttributeError(name)
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
 
     # ------------------------------------------------------------------ #
     def fit(self, data: pd.DataFrame, sample_store: int = 10_000_000,

@@ -7,8 +7,8 @@ XLA's row scatters stop updating in place once the table outgrows fast memory
 (~100k rows on v5e) and fall back to materializing a full-table copy per
 scatter — at a Rees46-sized table (200k x 513) that is ~1.8 ms PER SCATTER.
 These kernels update parameter + optimizer-state rows in one pass whose cost
-is proportional to the number of touched rows. Covered: adagrad, rmsprop and
-adam (+ momentum/L2 for each); adadelta keeps the XLA path.
+is proportional to the number of touched rows. Covered: all four adaptive
+optimizers — adagrad, rmsprop, adadelta, adam — each with momentum/L2.
 
 Design (v2 — "group-blocked"): Mosaic requires block shapes whose last two
 dims are (8k, 128m) or equal to the array dims, so arbitrary single rows of a
@@ -123,14 +123,18 @@ def group_pack(idx, g, n_rows, return_slot_rows: bool = False):
     return gblk, mask, gpad, slot_rows
 
 
-def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
+def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
                   corr2, *, lr, momentum, lmbd, v1, v2, interpret):
-    """Shared group-blocked kernel body for adagrad / rmsprop / adam.
+    """Shared group-blocked kernel body for adagrad / rmsprop / adadelta / adam.
 
     Update math per touched row r (g already duplicate-summed by group_pack):
 
         adagrad:  acc += g^2;                        gs = g/sqrt(acc+eps)
         rmsprop:  acc  = v1*acc + (1-v1)*g^2;        gs = g/sqrt(acc+eps)
+        adadelta: acc  = v1*acc + (1-v1)*g^2
+                  scal = (upd + eps) / (acc + eps)
+                  upd  = v1*upd + (1-v1)*scal*g^2
+                  gs   = g * sqrt(scal)
         adam:     acc  = v2*acc + (1-v2)*g^2
                   meang= v1*meang + (1-v1)*g
                   gs   = (meang/corr1) / (sqrt(acc/corr2) + eps)
@@ -138,10 +142,11 @@ def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
         vel[r]    = momentum * vel[r] - delta        (if momentum > 0)
         table[r] += vel[r]                           (or -= delta)
 
-    ``meang``/``corr1``/``corr2`` are adam-only (None otherwise); ``vel`` may
-    be None when momentum == 0. State may be stored narrow (opt_state_dtype);
-    math runs in f32 and the UNROUNDED values update the table — exactly like
-    the XLA path (train/optimizers.py).
+    ``extra`` is the second state slot: adam's first moment / adadelta's upd
+    (None otherwise). ``corr1``/``corr2`` are adam-only. ``vel`` may be None
+    when momentum == 0. State may be stored narrow (opt_state_dtype); math
+    runs in f32 and the UNROUNDED values update the table — exactly like the
+    XLA path (train/optimizers.py).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -150,6 +155,7 @@ def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
     K = gblk.shape[0]
     has_momentum = momentum > 0
     is_adam = adapt == "adam"
+    has_extra = adapt in ("adam", "adadelta")
     # zero gradient is an exact no-op only for adagrad's monotone sum; EMA
     # state, momentum, and L2 all move under zero g and need the member mask
     needs_mask = has_momentum or lmbd > 0 or adapt != "adagrad"
@@ -168,11 +174,14 @@ def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
         return (j, 0)
 
     acc_dtype, vel_dtype = acc.dtype, vel.dtype
-    meang_dtype = meang.dtype if is_adam else None
+    extra_dtype = extra.dtype if has_extra else None
 
     def kernel(gblk_ref, mask_ref, *refs):
         if is_adam:
             (t_ref, a_ref, m_ref, v_ref, g_ref, c1_ref, c2_ref,
+             to_ref, ao_ref, mo_ref, vo_ref) = refs
+        elif has_extra:  # adadelta
+            (t_ref, a_ref, m_ref, v_ref, g_ref,
              to_ref, ao_ref, mo_ref, vo_ref) = refs
         else:
             t_ref, a_ref, v_ref, g_ref, to_ref, ao_ref, vo_ref = refs
@@ -194,6 +203,16 @@ def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
             acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g, a_old)
             gs = g / jnp.sqrt(acc_new + EPSILON)
             ao_ref[...] = acc_new.astype(acc_dtype)
+        elif adapt == "adadelta":
+            a_old = a_ref[...].astype(jnp.float32)
+            u_old = m_ref[...].astype(jnp.float32)
+            acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g, a_old)
+            scal = (u_old + EPSILON) / (acc_new + EPSILON)
+            u_new = jnp.where(member,
+                              v1 * u_old + (1.0 - v1) * scal * g * g, u_old)
+            gs = g * jnp.sqrt(scal)
+            ao_ref[...] = acc_new.astype(acc_dtype)
+            mo_ref[...] = u_new.astype(extra_dtype)
         else:  # adam
             a_old = a_ref[...].astype(jnp.float32)
             m_old = m_ref[...].astype(jnp.float32)
@@ -202,7 +221,7 @@ def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
             gs = (m_new / c1_ref[...]) / (jnp.sqrt(acc_new / c2_ref[...])
                                           + EPSILON)
             ao_ref[...] = acc_new.astype(acc_dtype)
-            mo_ref[...] = m_new.astype(meang_dtype)
+            mo_ref[...] = m_new.astype(extra_dtype)
         if lmbd > 0:
             delta = lr * (gs + lmbd * t_ref[...])
         else:
@@ -235,11 +254,11 @@ def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
         jax.ShapeDtypeStruct(acc.shape, acc.dtype),
     ]
     aliases = {2: 0, 3: 1}  # inputs 2.. are offset by the 2 scalar-prefetch args
-    if is_adam:
+    if has_extra:
         in_specs.append(pl.BlockSpec((8, d), blk_map))
-        inputs.append(meang)
+        inputs.append(extra)
         out_specs.append(pl.BlockSpec((8, d), blk_map))
-        out_shape.append(jax.ShapeDtypeStruct(meang.shape, meang.dtype))
+        out_shape.append(jax.ShapeDtypeStruct(extra.shape, extra.dtype))
         aliases[4] = 2
     vel_pos = len(inputs) + 2
     in_specs.append(pl.BlockSpec((8, d), vel_map))
@@ -262,7 +281,7 @@ def _fused_update(adapt, table, acc, meang, vel, gblk, mask, gpad, corr1,
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases=aliases, interpret=interpret,
     )(gblk, mask, *inputs)
-    if is_adam:
+    if has_extra:
         t_out, a_out, m_out, v_out = outs
     else:
         t_out, a_out, v_out = outs
@@ -292,6 +311,18 @@ def fused_rmsprop_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
         interpret=interpret,
     )
     return t, a, v
+
+
+@partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "v1",
+                                   "interpret"))
+def fused_adadelta_update(table, acc, upd, vel, gblk, mask, gpad, *, lr: float,
+                          momentum: float, lmbd: float, v1: float,
+                          interpret: bool = False):
+    return _fused_update(
+        "adadelta", table, acc, upd, vel, gblk, mask, gpad, None, None,
+        lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=0.0,
+        interpret=interpret,
+    )
 
 
 @partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "v1", "v2",

@@ -228,8 +228,8 @@ class Optimizer:
         return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
 
     def _use_fused_kernel(self, table, st) -> bool:
-        if self.adapt not in ("adagrad", "rmsprop", "adam") or table.ndim != 2:
-            return False  # adadelta / plain SGD keep the XLA path
+        if self.adapt is None or table.ndim != 2:
+            return False  # plain SGD keeps the XLA path (no state to fuse)
         # the grouped kernel needs 8-row-aligned tables and a final all-
         # padding group (guaranteed by models/gru.py pad_items for whole
         # tables; for row-shards, by dist_step's per-shard scratch rows)
@@ -259,8 +259,8 @@ class Optimizer:
             import jax
 
             from gru4rec_tpu.ops.kernels.sparse_update import (
-                fused_adagrad_update, fused_adam_update, fused_rmsprop_update,
-                group_pack)
+                fused_adadelta_update, fused_adagrad_update, fused_adam_update,
+                fused_rmsprop_update, group_pack)
 
             interpret = jax.default_backend() != "tpu"
             # group_pack folds the duplicate-index summing into its packing
@@ -288,6 +288,14 @@ class Optimizer:
                     v1=self.v1, v2=self.v2, interpret=interpret,
                 )
                 st = {**st, "acc": acc, "meang": meang, "count": count_new}
+            elif self.adapt == "adadelta":
+                gblk, mask, gpad = group_pack(idx, g, table.shape[0])
+                table, acc, upd, vel = fused_adadelta_update(
+                    table, st["acc"], st["upd"], st.get("velocity"), gblk,
+                    mask, gpad, lr=self.lr, momentum=self.momentum,
+                    lmbd=self.lmbd, v1=self.v1, interpret=interpret,
+                )
+                st = {**st, "acc": acc, "upd": upd}
             else:
                 gblk, mask, gpad = group_pack(idx, g, table.shape[0])
                 if self.adapt == "adagrad":

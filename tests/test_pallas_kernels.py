@@ -11,7 +11,7 @@ from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.train.optimizers import make_optimizer
 
 
-@pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adam"])
+@pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adadelta", "adam"])
 @pytest.mark.parametrize("momentum", [0.0, 0.4])
 @pytest.mark.parametrize("lmbd", [0.0, 0.01])
 @pytest.mark.parametrize("with_dupes_and_sentinels", [False, True])
@@ -56,7 +56,7 @@ def test_fused_update_matches_xla(adapt, momentum, lmbd,
                                    rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("adapt", ["rmsprop", "adam"])
+@pytest.mark.parametrize("adapt", ["rmsprop", "adadelta", "adam"])
 def test_fused_update_narrow_state(adapt, monkeypatch):
     """Narrow (bf16) EMA state: kernel and XLA paths must round identically
     (f32 math, storage-dtype rounding only on the persisted rows)."""

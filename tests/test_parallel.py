@@ -104,7 +104,7 @@ def test_dist_matches_single_device(mode_kwargs, loss):
     _run_dist_vs_single(mode_kwargs, loss)
 
 
-@pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adam"])
+@pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adadelta", "adam"])
 def test_dist_with_forced_kernel_matches_single_device(adapt, monkeypatch):
     """The fused sparse-update kernel on SHARDED tables (per-shard scratch
     rows provide the dummy group) must reproduce the single-device XLA-path
