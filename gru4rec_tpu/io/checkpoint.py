@@ -48,23 +48,31 @@ def _flatten_params(params) -> dict:
     for group in ("Wx", "Wh", "Wrz", "Bh"):
         for i, arr in enumerate(params[group]):
             flat[f"param/{group}{i}"] = _squeeze3(arr)
-    wyb = _squeeze3(params["Wy"])  # bias folded as last column
-    flat["param/Wy"] = wyb[:, :-1]
-    flat["param/By"] = wyb[:, -1]
+    # bias folded at column h, then tile padding (models/gru.py) — checkpoints
+    # store the reference layout: Wy matrix and By vector, no padding columns
+    wyb = _squeeze3(params["Wy"])
+    h = _squeeze3(params["Wh"][-1]).shape[-1]
+    flat["param/Wy"] = wyb[:, :h]
+    flat["param/By"] = wyb[:, h]
     if "E" in params:
         flat["param/E"] = _squeeze3(params["E"])
     return flat
 
 
 def _unflatten_params(archive) -> dict:
+    from gru4rec_tpu.models.gru import pad_cols
+
     params = {"Wx": [], "Wh": [], "Wrz": [], "Bh": []}
     n_layers = len([k for k in archive.files if k.startswith("param/Wh")])
     for i in range(n_layers):
         for group in ("Wx", "Wh", "Wrz", "Bh"):
             params[group].append(archive[f"param/{group}{i}"])
-    params["Wy"] = np.concatenate(
-        [archive["param/Wy"], archive["param/By"][:, None]], axis=1
-    )
+    wy = archive["param/Wy"]
+    h = wy.shape[1]
+    wyb = np.zeros((wy.shape[0], pad_cols(h + 1)), dtype=wy.dtype)
+    wyb[:, :h] = wy
+    wyb[:, h] = archive["param/By"]
+    params["Wy"] = wyb
     if "param/E" in archive.files:
         params["E"] = archive["param/E"]
     return params

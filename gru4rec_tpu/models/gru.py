@@ -19,13 +19,19 @@ Parameter layout matches the reference for checkpoint compatibility thinking:
 (3h,).
 
 One deliberate layout change: the output bias ``By`` (reference: (n_items, 1),
-gru4rec.py:293) is stored as the LAST COLUMN of ``Wy`` — params['Wy'] is
-(n_items, h+1) with scoring ``y @ Wy[:, :h].T + Wy[:, h]``. Wy and By always
-share gather/scatter index sets in the sampled-softmax path, so folding them
-halves the number of per-step sparse-update passes with per-element-identical
-optimizer math (the only divergence: in constrained mode the bias column of
-rows touched *only as inputs* sees momentum/L2 state updates with zero
-gradient). Checkpoints still store Wy and By separately (io/checkpoint.py).
+gru4rec.py:293) is stored as COLUMN ``h`` of ``Wy`` — params['Wy'] is
+(n_items, pad_cols(h+1)) with scoring ``y @ Wy[:, :h].T + Wy[:, h]``. Wy and
+By always share gather/scatter index sets in the sampled-softmax path, so
+folding them halves the number of per-step sparse-update passes with
+per-element-identical optimizer math (the only divergence: in constrained
+mode the bias column of rows touched *only as inputs* sees momentum/L2 state
+updates with zero gradient). The width is rounded up to the 128-lane tile
+multiple: the physical T(8,128) layout pads it anyway, so the zero columns
+are free — while a non-multiple LOGICAL width (e.g. 513 for GRU-512) hits a
+measurably slower unaligned scatter/gather path (~25-30% on big-table row
+updates; PERF_NOTES.md) and blocks manually-DMA'd kernels, whose slices must
+be tile-aligned. Checkpoints still store Wy and By separately, unpadded
+(io/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -55,6 +61,13 @@ def pad_items(n_items: int, multiple: int) -> int:
     parks its padded grid steps on the last 8-row group, which must therefore
     contain no real item row (ops/kernels/sparse_update.py)."""
     return ((n_items + 7 + multiple) // multiple) * multiple
+
+
+def pad_cols(width: int) -> int:
+    """Round a table width up to the 128-lane tile multiple (see the module
+    docstring: physically free, removes the unaligned scatter/gather
+    penalty, and a precondition for tile-aligned kernel DMAs)."""
+    return ((width + 127) // 128) * 128
 
 
 def init_params(cfg: GRU4RecConfig, n_items: int) -> Dict:
@@ -104,9 +117,12 @@ def init_params(cfg: GRU4RecConfig, n_items: int) -> Dict:
         params["Wrz"].append(np.hstack(m2))
         params["Bh"].append(np.zeros((layers[i] * 3,), dtype=dtype))
     wy = init_matrix((n_items, layers[-1]), pad_rows=n_pad - n_items)
-    # output bias folded in as the last column (zero-initialized, like the
-    # reference's By, gru4rec.py:293)
-    params["Wy"] = np.concatenate([wy, np.zeros((n_pad, 1), dtype=dtype)], axis=1)
+    # output bias folded in at column h (zero-initialized, like the
+    # reference's By, gru4rec.py:293); width tile-padded — see module docstring
+    wcols = pad_cols(layers[-1] + 1)
+    params["Wy"] = np.concatenate(
+        [wy, np.zeros((n_pad, wcols - layers[-1]), dtype=dtype)], axis=1
+    )
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
@@ -174,10 +190,11 @@ def forward(
     """Single-step forward.
 
     ``srows`` carries the gathered rows (differentiation targets); Wy rows
-    include the folded bias column (see module docstring):
-      one-hot:      {'Wx0': (B, 3h), 'Wy': (N, h+1)}
-      embedding:    {'E': (B, d_e), 'Wy': (N, h+1)}
-      constrained:  {'WyS': (B+N, h+1)}  — single concat gather
+    include the folded bias column at index h plus tile padding (see module
+    docstring; w = pad_cols(h+1)):
+      one-hot:      {'Wx0': (B, 3h), 'Wy': (N, w)}
+      embedding:    {'E': (B, d_e), 'Wy': (N, w)}
+      constrained:  {'WyS': (B+N, w)}  — single concat gather
     For ``full_catalog`` scoring (predict/eval), the full (padded) Wy table
     is used instead of gathered rows.
 
@@ -194,10 +211,12 @@ def forward(
         else [None] * (len(layers) + 1)
     )
 
+    h_last = layers[-1]
     H_new = []
     if mode == "constrained":
         S = srows["WyS"]
-        Sx = (S[:M] if not full_catalog else S)[:, :-1]  # strip the bias column
+        # keep the matrix part only (bias at column h_last, then tile padding)
+        Sx = (S[:M] if not full_catalog else S)[:, :h_last]
         y = _dropout(Sx, cfg.dropout_p_embed, keys[0]) if training else Sx
         start = 0
     elif mode == "embedding":
@@ -228,7 +247,7 @@ def forward(
         # (reference: gru4rec.py:481-485); during training it reuses the
         # concatenated gather's tail.
         Syb = srows["Wy"] if "Wy" in srows else srows["WyS"][M:]
-    scores = mm(y, Syb[:, :-1].T) + Syb[:, -1]
+    scores = mm(y, Syb[:, :h_last].T) + Syb[:, h_last]
 
     fact = get_activation(final_act_name)
     if not training and final_act_name == "softmax_logit":

@@ -226,13 +226,21 @@ class GRU4Rec:
             else:
                 # deterministic session order => the schedule is identical
                 # every epoch; build + pre-chunk once (the reference re-runs
-                # its host loop per epoch, gru4rec.py:587)
+                # its host loop per epoch, gru4rec.py:587). Single-device
+                # training also uploads the chunks once: re-transferring the
+                # same schedule every epoch costs host->device bandwidth
+                # (and round trips on a tunneled device).
                 if cached_chunks is None:
                     sched = build_schedule(
                         data_items, offsets, base_order, cfg.batch_size,
                         require_two_lanes=(cfg.n_sample == 0),
                     )
                     cached_chunks = _chunk_schedule(sched, C)
+                    if mesh is None:
+                        cached_chunks = [
+                            tuple(jnp.asarray(a) for a in c[:4]) + (c[4],)
+                            for c in cached_chunks
+                        ]
                 chunks = cached_chunks
             T = chunks[-1][4] if chunks else 0
             loss_parts, ev_parts = [], []
@@ -343,11 +351,14 @@ class GRU4Rec:
             if c is not None
             else np.zeros((n_new,), dtype=cfg.param_dtype)
         )
-        # Wy carries the folded bias column: new rows = [glorot(d) | 0]
+        # Wy carries the folded bias at column h + tile padding:
+        # new rows = [glorot(h) | zeros]
+        h_last = cfg.layers[-1]
         params["Wy"] = extend(
             params["Wy"],
             lambda c: np.concatenate(
-                [new_rows(c - 1, n_old), np.zeros((n_new, 1), dtype=cfg.param_dtype)],
+                [new_rows(h_last, n_old),
+                 np.zeros((n_new, c - h_last), dtype=cfg.param_dtype)],
                 axis=1,
             ),
         )

@@ -66,7 +66,18 @@ def _kernels_available() -> bool:
         return False
 
 
-def group_pack(idx, g, n_rows, return_slot_rows: bool = False):
+# v3 (manual-DMA pipeline, dynamic length) dispatch threshold: it wins once
+# XLA's scatters lose fast-memory promotion, which is a per-table BYTE
+# budget, not a row count (PERF_NOTES.md "mid-size regime, resolved").
+# Measured full-step winners: Diginetica 110MB tables (+68%) and Rees46
+# 512MB (+54%); measured losers: Yoochoose 76MB (-4%, one state buffer
+# still gets promoted) and the 38MB flagship (everything promoted).
+V3_MIN_TABLE_BYTES = 96 * 1024 * 1024
+V3_DEPTH = 4  # software pipeline depth (in-flight groups per direction)
+
+
+def group_pack(idx, g, n_rows, return_slot_rows: bool = False,
+               return_nreal: bool = False):
     """Sort raw (possibly duplicated / sentinel-masked) scatter indices,
     bucket them by 8-row group, and pack gradients group-aligned — with the
     duplicate-index summing folded into the packing scatter, so the kernel
@@ -85,7 +96,10 @@ def group_pack(idx, g, n_rows, return_slot_rows: bool = False):
     * with ``return_slot_rows``: ``slot_rows`` (8K,) int32 — the global row
       id occupying each slot (each distinct touched row exactly once,
       ascending; drop-sentinel elsewhere) — the adam path's count-update /
-      bias-correction index.
+      bias-correction index;
+    * with ``return_nreal``: ``nreal`` (1,) int32 — the number of REAL
+      (non-dummy) groups, which always occupy grid slots [0, nreal); the v3
+      kernel loops over only these.
     """
     K = idx.shape[0]
     d = g.shape[-1]
@@ -114,13 +128,16 @@ def group_pack(idx, g, n_rows, return_slot_rows: bool = False):
     gpad = jnp.zeros((8 * K, d), g.dtype).at[slot].add(
         sg, mode="drop", indices_are_sorted=True
     )
-    if not return_slot_rows:
-        return gblk, mask, gpad
-    first_slot = jnp.where(valid & head, slot, 8 * K)
-    slot_rows = jnp.full((8 * K,), sentinel).at[first_slot].set(
-        sidx, mode="drop", indices_are_sorted=True, unique_indices=True
-    )
-    return gblk, mask, gpad, slot_rows
+    out = [gblk, mask, gpad]
+    if return_slot_rows:
+        first_slot = jnp.where(valid & head, slot, 8 * K)
+        slot_rows = jnp.full((8 * K,), sentinel).at[first_slot].set(
+            sidx, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
+        out.append(slot_rows)
+    if return_nreal:
+        out.append(jnp.sum(ghead & valid).astype(jnp.int32).reshape((1,)))
+    return tuple(out)
 
 
 def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
@@ -288,6 +305,273 @@ def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
         m_out = None
     v_out = v_out if has_momentum else None
     return t_out, a_out, m_out, v_out
+
+
+def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
+                     corr1, corr2, *, lr, momentum, lmbd, v1, v2, interpret):
+    """v3: manual-DMA software pipeline over ONLY the real groups.
+
+    The v2 grid pays ~0.35-0.45 us of fixed cost for every one of its K
+    (static) grid steps — including the padded dummy steps that
+    duplicate-heavy index sets produce (pop^alpha negatives: 30-45% of K).
+    v3 runs one kernel invocation that fori-loops to the DYNAMIC real-group
+    count (scalar-prefetched ``nreal``; real groups always occupy slots
+    [0, nreal) of ``gblk``) with a depth-``V3_DEPTH`` pipeline of manual
+    HBM<->VMEM async copies — measured ~40% faster than v2 at Rees46/
+    Diginetica shapes even before dummy elimination (PERF_NOTES.md).
+
+    Requires the table width to be a 128-lane tile multiple (models/gru.py
+    pad_cols) — Mosaic DMA slices must be tile-aligned. Same update math and
+    same member-masking semantics as :func:`_fused_update`; in/out VMEM
+    buffers are separate per stream so an in-flight out-DMA never races the
+    next refill.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, d = table.shape
+    K = gblk.shape[0]
+    D = V3_DEPTH
+    has_momentum = momentum > 0
+    is_adam = adapt == "adam"
+    has_extra = adapt in ("adam", "adadelta")
+    needs_mask = has_momentum or lmbd > 0 or adapt != "adagrad"
+    acc_dtype = acc.dtype
+    extra_dtype = extra.dtype if has_extra else None
+    vel_dtype = vel.dtype if has_momentum else None
+
+    def kernel(gblk_ref, mask_ref, nreal_ref, *refs):
+        refs = list(refs)
+        t_hbm = refs.pop(0)
+        a_hbm = refs.pop(0)
+        x_hbm = refs.pop(0) if has_extra else None
+        v_hbm = refs.pop(0) if has_momentum else None
+        g_hbm = refs.pop(0)
+        c1_ref = refs.pop(0) if is_adam else None
+        c2_ref = refs.pop(0) if is_adam else None
+        to_hbm = refs.pop(0)
+        ao_hbm = refs.pop(0)
+        xo_hbm = refs.pop(0) if has_extra else None
+        vo_hbm = refs.pop(0) if has_momentum else None
+        (tin, tout, ain, aout) = refs[:4]
+        refs = refs[4:]
+        xin = refs.pop(0) if has_extra else None
+        xout = refs.pop(0) if has_extra else None
+        vin = refs.pop(0) if has_momentum else None
+        vout = refs.pop(0) if has_momentum else None
+        gin = refs.pop(0)
+        in_sems, out_sems = refs
+
+        n = nreal_ref[0]
+
+        def in_copies(j, slot):
+            blk = gblk_ref[j]
+            rows = pl.ds(blk * 8, 8)
+            cp = [
+                pltpu.make_async_copy(t_hbm.at[rows, :], tin.at[slot],
+                                      in_sems.at[slot, 0]),
+                pltpu.make_async_copy(a_hbm.at[rows, :], ain.at[slot],
+                                      in_sems.at[slot, 1]),
+                pltpu.make_async_copy(g_hbm.at[pl.ds(j * 8, 8), :],
+                                      gin.at[slot], in_sems.at[slot, 4]),
+            ]
+            if has_extra:
+                cp.append(pltpu.make_async_copy(x_hbm.at[rows, :],
+                                                xin.at[slot],
+                                                in_sems.at[slot, 2]))
+            if has_momentum:
+                cp.append(pltpu.make_async_copy(v_hbm.at[rows, :],
+                                                vin.at[slot],
+                                                in_sems.at[slot, 3]))
+            return cp
+
+        def out_copies(j, slot):
+            blk = gblk_ref[j]
+            rows = pl.ds(blk * 8, 8)
+            cp = [
+                pltpu.make_async_copy(tout.at[slot], to_hbm.at[rows, :],
+                                      out_sems.at[slot, 0]),
+                pltpu.make_async_copy(aout.at[slot], ao_hbm.at[rows, :],
+                                      out_sems.at[slot, 1]),
+            ]
+            if has_extra:
+                cp.append(pltpu.make_async_copy(xout.at[slot],
+                                                xo_hbm.at[rows, :],
+                                                out_sems.at[slot, 2]))
+            if has_momentum:
+                cp.append(pltpu.make_async_copy(vout.at[slot],
+                                                vo_hbm.at[rows, :],
+                                                out_sems.at[slot, 3]))
+            return cp
+
+        def pro(p, _):
+            @pl.when(p < n)
+            def _():
+                for c in in_copies(p, jax.lax.rem(p, D)):
+                    c.start()
+            return 0
+
+        jax.lax.fori_loop(0, D, pro, 0, unroll=True)
+
+        def body(j, _):
+            slot = jax.lax.rem(j, D)
+            for c in in_copies(j, slot):
+                c.wait()
+            # drain the out-DMAs that used this slot D groups ago before
+            # overwriting the out buffers
+            @pl.when(j >= D)
+            def _():
+                for c in out_copies(j - D, slot):
+                    c.wait()
+
+            g = gin[slot]
+            if needs_mask:
+                bits = mask_ref[j]
+                rowid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                member = ((bits >> rowid) & 1) > 0
+            t_old = tin[slot].astype(jnp.float32)
+            if adapt == "adagrad":
+                acc_new = ain[slot] + g * g
+                gs = g / jnp.sqrt(acc_new + EPSILON)
+                aout[slot] = acc_new
+            elif adapt == "rmsprop":
+                a_old = ain[slot].astype(jnp.float32)
+                acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g,
+                                    a_old)
+                gs = g / jnp.sqrt(acc_new + EPSILON)
+                aout[slot] = acc_new.astype(acc_dtype)
+            elif adapt == "adadelta":
+                a_old = ain[slot].astype(jnp.float32)
+                u_old = xin[slot].astype(jnp.float32)
+                acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g,
+                                    a_old)
+                scal = (u_old + EPSILON) / (acc_new + EPSILON)
+                u_new = jnp.where(
+                    member, v1 * u_old + (1.0 - v1) * scal * g * g, u_old)
+                gs = g * jnp.sqrt(scal)
+                aout[slot] = acc_new.astype(acc_dtype)
+                xout[slot] = u_new.astype(extra_dtype)
+            else:  # adam
+                a_old = ain[slot].astype(jnp.float32)
+                m_old = xin[slot].astype(jnp.float32)
+                acc_new = jnp.where(member, v2 * a_old + (1.0 - v2) * g * g,
+                                    a_old)
+                m_new = jnp.where(member, v1 * m_old + (1.0 - v1) * g, m_old)
+                c1 = c1_ref[pl.ds(j * 8, 8), :]
+                c2 = c2_ref[pl.ds(j * 8, 8), :]
+                gs = (m_new / c1) / (jnp.sqrt(acc_new / c2) + EPSILON)
+                aout[slot] = acc_new.astype(acc_dtype)
+                xout[slot] = m_new.astype(extra_dtype)
+            if lmbd > 0:
+                delta = lr * (gs + lmbd * t_old)
+            else:
+                delta = lr * gs
+            if has_momentum:
+                v_old = vin[slot].astype(jnp.float32)
+                vnew = momentum * v_old - delta
+                vnew = jnp.where(member, vnew, v_old)
+                vout[slot] = vnew.astype(vel_dtype)
+                tout[slot] = (t_old + jnp.where(member, vnew, 0.0)).astype(
+                    table.dtype)
+            else:
+                if needs_mask:
+                    tout[slot] = (t_old - jnp.where(member, delta, 0.0)).astype(
+                        table.dtype)
+                else:
+                    tout[slot] = (t_old - delta).astype(table.dtype)
+            for c in out_copies(j, slot):
+                c.start()
+            @pl.when(j + D < n)
+            def _():
+                for c in in_copies(j + D, jax.lax.rem(j + D, D)):
+                    c.start()
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+        def epi(p, _):
+            j = n - D + p
+            @pl.when(j >= 0)
+            def _():
+                for c in out_copies(j, jax.lax.rem(j, D)):
+                    c.wait()
+            return 0
+
+        jax.lax.fori_loop(0, D, epi, 0, unroll=True)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    inputs = [table, acc]
+    in_specs = [any_spec, any_spec]
+    if has_extra:
+        inputs.append(extra)
+        in_specs.append(any_spec)
+    if has_momentum:
+        inputs.append(vel)
+        in_specs.append(any_spec)
+    inputs.append(gpad)
+    in_specs.append(any_spec)
+    if is_adam:
+        inputs += [corr1, corr2]
+        in_specs += [vmem_full, vmem_full]
+    out_shape = [jax.ShapeDtypeStruct(table.shape, table.dtype),
+                 jax.ShapeDtypeStruct(acc.shape, acc.dtype)]
+    out_specs = [any_spec, any_spec]
+    # aliases: +3 for the scalar-prefetch args (gblk, mask, nreal)
+    aliases = {3: 0, 4: 1}
+    pos = 5
+    out_i = 2
+    if has_extra:
+        out_shape.append(jax.ShapeDtypeStruct(extra.shape, extra.dtype))
+        out_specs.append(any_spec)
+        aliases[pos] = out_i
+        pos += 1
+        out_i += 1
+    if has_momentum:
+        out_shape.append(jax.ShapeDtypeStruct(vel.shape, vel.dtype))
+        out_specs.append(any_spec)
+        aliases[pos] = out_i
+
+    scratch = [
+        pltpu.VMEM((D, 8, d), table.dtype),  # tin
+        pltpu.VMEM((D, 8, d), table.dtype),  # tout
+        pltpu.VMEM((D, 8, d), acc.dtype),    # ain
+        pltpu.VMEM((D, 8, d), acc.dtype),    # aout
+    ]
+    if has_extra:
+        scratch += [pltpu.VMEM((D, 8, d), extra.dtype)] * 2
+    if has_momentum:
+        scratch += [pltpu.VMEM((D, 8, d), vel.dtype)] * 2
+    scratch.append(pltpu.VMEM((D, 8, d), gpad.dtype))
+    scratch += [pltpu.SemaphoreType.DMA((D, 5)),
+                pltpu.SemaphoreType.DMA((D, 4))]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1,), in_specs=in_specs,
+        out_specs=out_specs, scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases=aliases, interpret=interpret,
+    )(gblk, mask, nreal, *inputs)
+    outs = list(outs)
+    t_out = outs.pop(0)
+    a_out = outs.pop(0)
+    x_out = outs.pop(0) if has_extra else None
+    v_out = outs.pop(0) if has_momentum else None
+    return t_out, a_out, x_out, v_out
+
+
+@partial(jax.jit, static_argnames=("adapt", "lr", "momentum", "lmbd", "v1",
+                                   "v2", "interpret"))
+def fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
+                    corr1, corr2, *, lr: float, momentum: float, lmbd: float,
+                    v1: float, v2: float, interpret: bool = False):
+    return _fused_update_v3(
+        adapt, table, acc, extra, vel, gblk, mask, nreal, gpad, corr1, corr2,
+        lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
+        interpret=interpret,
+    )
 
 
 @partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "interpret"))

@@ -34,6 +34,7 @@ from gru4rec_tpu.config import GRU4RecConfig
 
 EPSILON = 1e-6
 _FORCE_PALLAS = None  # test hook: None = auto, True/False = override
+_FORCE_PALLAS_VERSION = None  # test hook: None = auto, "v2"/"v3" = pin
 
 
 def dedup_rows(idx, g):
@@ -227,25 +228,40 @@ class Optimizer:
             return p + vel, st
         return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
 
-    def _use_fused_kernel(self, table, st) -> bool:
+    def _kernel_version(self, table, st):
+        """Pick the fused-kernel variant for this table: None (XLA path),
+        "v2" (group-blocked grid) or "v3" (manual-DMA pipeline, dynamic
+        length; requires a 128-aligned width)."""
         if self.adapt is None or table.ndim != 2:
-            return False  # plain SGD keeps the XLA path (no state to fuse)
-        # the grouped kernel needs 8-row-aligned tables and a final all-
+            return None  # plain SGD keeps the XLA path (no state to fuse)
+        # the grouped kernels need 8-row-aligned tables and a final all-
         # padding group (guaranteed by models/gru.py pad_items for whole
         # tables; for row-shards, by dist_step's per-shard scratch rows)
         if table.shape[0] % 8:
-            return False
+            return None
         # adagrad's accumulator always matches the param dtype (init_state);
         # a mismatch means an exotic hand-built state — take the XLA path.
         # Narrow (bf16) EMA state and velocity are handled natively.
         if self.adapt == "adagrad" and st["acc"].dtype != table.dtype:
-            return False
+            return None
+        width_ok = table.shape[1] % 128 == 0
         if _FORCE_PALLAS is not None:
-            return _FORCE_PALLAS
-        from gru4rec_tpu.ops.kernels.sparse_update import (PALLAS_MIN_ROWS,
-                                                           _kernels_available)
+            if not _FORCE_PALLAS:
+                return None
+            if _FORCE_PALLAS_VERSION is not None:
+                return _FORCE_PALLAS_VERSION
+            return "v3" if width_ok else "v2"
+        from gru4rec_tpu.ops.kernels.sparse_update import (
+            PALLAS_MIN_ROWS, V3_MIN_TABLE_BYTES, _kernels_available)
 
-        return table.shape[0] >= PALLAS_MIN_ROWS and _kernels_available()
+        if not _kernels_available():
+            return None
+        nbytes = table.shape[0] * table.shape[1] * table.dtype.itemsize
+        if width_ok and nbytes >= V3_MIN_TABLE_BYTES:
+            return "v3"
+        if table.shape[0] >= PALLAS_MIN_ROWS:
+            return "v2"
+        return None
 
     def apply_sparse(self, table, idx, g, st, key=None, allow_kernel=True):
         """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``.
@@ -255,19 +271,22 @@ class Optimizer:
         grouped Pallas kernel requires the table's LAST 8-row group to be all
         padding (models/gru.py pad_items; parallel/dist_step.py appends
         per-shard scratch rows to guarantee it shard-locally)."""
-        if allow_kernel and self._use_fused_kernel(table, st):
+        version = self._kernel_version(table, st) if allow_kernel else None
+        if version:
             import jax
 
             from gru4rec_tpu.ops.kernels.sparse_update import (
                 fused_adadelta_update, fused_adagrad_update, fused_adam_update,
-                fused_rmsprop_update, group_pack)
+                fused_rmsprop_update, fused_update_v3, group_pack)
 
             interpret = jax.default_backend() != "tpu"
             # group_pack folds the duplicate-index summing into its packing
             # scatter, so the kernel path skips dedup_rows entirely
+            corr1 = corr2 = None
             if self.adapt == "adam":
-                gblk, mask, gpad, slot_rows = group_pack(
-                    idx, g, table.shape[0], return_slot_rows=True)
+                gblk, mask, gpad, slot_rows, nreal = group_pack(
+                    idx, g, table.shape[0], return_slot_rows=True,
+                    return_nreal=True)
                 # per-row step counts + bias corrections live OUTSIDE the
                 # kernel (cheap 1-D XLA gather/scatter); the kernel consumes
                 # packed per-slot correction columns
@@ -281,36 +300,52 @@ class Optimizer:
                 )
                 corr1 = (1.0 - self.v1 ** cnt)[:, None]
                 corr2 = (1.0 - self.v2 ** cnt)[:, None]
+            else:
+                gblk, mask, gpad, nreal = group_pack(
+                    idx, g, table.shape[0], return_nreal=True)
+            extra_name = {"adam": "meang", "adadelta": "upd"}.get(self.adapt)
+            if version == "v3":
+                table, acc, extra, vel = fused_update_v3(
+                    self.adapt, table, st["acc"],
+                    st[extra_name] if extra_name else None,
+                    st.get("velocity"), gblk, mask, nreal, gpad, corr1, corr2,
+                    lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
+                    v1=self.v1, v2=self.v2, interpret=interpret,
+                )
+                st = {**st, "acc": acc}
+                if extra_name:
+                    st[extra_name] = extra
+            elif self.adapt == "adam":
                 table, acc, meang, vel = fused_adam_update(
                     table, st["acc"], st["meang"], st.get("velocity"),
                     gblk, mask, gpad, corr1, corr2,
                     lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
                     v1=self.v1, v2=self.v2, interpret=interpret,
                 )
-                st = {**st, "acc": acc, "meang": meang, "count": count_new}
+                st = {**st, "acc": acc, "meang": meang}
             elif self.adapt == "adadelta":
-                gblk, mask, gpad = group_pack(idx, g, table.shape[0])
                 table, acc, upd, vel = fused_adadelta_update(
                     table, st["acc"], st["upd"], st.get("velocity"), gblk,
                     mask, gpad, lr=self.lr, momentum=self.momentum,
                     lmbd=self.lmbd, v1=self.v1, interpret=interpret,
                 )
                 st = {**st, "acc": acc, "upd": upd}
-            else:
-                gblk, mask, gpad = group_pack(idx, g, table.shape[0])
-                if self.adapt == "adagrad":
-                    table, acc, vel = fused_adagrad_update(
-                        table, st["acc"], st.get("velocity"), gblk, mask,
-                        gpad, lr=self.lr, momentum=self.momentum,
-                        lmbd=self.lmbd, interpret=interpret,
-                    )
-                else:
-                    table, acc, vel = fused_rmsprop_update(
-                        table, st["acc"], st.get("velocity"), gblk, mask,
-                        gpad, lr=self.lr, momentum=self.momentum,
-                        lmbd=self.lmbd, v1=self.v1, interpret=interpret,
-                    )
+            elif self.adapt == "adagrad":
+                table, acc, vel = fused_adagrad_update(
+                    table, st["acc"], st.get("velocity"), gblk, mask,
+                    gpad, lr=self.lr, momentum=self.momentum,
+                    lmbd=self.lmbd, interpret=interpret,
+                )
                 st = {**st, "acc": acc}
+            else:
+                table, acc, vel = fused_rmsprop_update(
+                    table, st["acc"], st.get("velocity"), gblk, mask,
+                    gpad, lr=self.lr, momentum=self.momentum,
+                    lmbd=self.lmbd, v1=self.v1, interpret=interpret,
+                )
+                st = {**st, "acc": acc}
+            if self.adapt == "adam":
+                st["count"] = count_new
             if vel is not None:
                 st["velocity"] = vel
             return table, st

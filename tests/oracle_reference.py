@@ -303,21 +303,22 @@ class ReferenceStepOracle:
 
         # --- forward (gru4rec.py:433-506) ---
         H_new = []
+        h = self.layers[-1]  # bias at column h, tile padding beyond
         if self.mode == "constrained":
             XY = np.concatenate([X, Y])
             S = leaf(self.Wy[XY])           # one concat gather, bias folded
-            y = S[:M, :-1]
-            Sy, SBy = S[M:, :-1], S[M:, -1]
+            y = S[:M, :h]
+            Sy, SBy = S[M:, :h], S[M:, h]
             start = 0
         elif self.mode == "embedding":
             S = leaf(self.E[X])
             SyB = leaf(self.Wy[Y])
-            y, Sy, SBy = S, SyB[:, :-1], SyB[:, -1]
+            y, Sy, SBy = S, SyB[:, :h], SyB[:, h]
             start = 0
         else:
             S = leaf(self.Wx[0][X])
             SyB = leaf(self.Wy[Y])
-            Sy, SBy = SyB[:, :-1], SyB[:, -1]
+            Sy, SBy = SyB[:, :h], SyB[:, h]
             vec = S + Bh[0]
             h = gru_layer(vec, H_in[0], Wrz[0], Wh[0], self.hidden_act,
                           self.layers[0])

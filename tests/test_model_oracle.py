@@ -25,10 +25,11 @@ def oracle_forward(params, H, X, Y, cfg, n_items, logq_pop=None, neg=None):
     """Reference-math forward (no dropout, all lanes valid)."""
     p = {k: (list(map(np.asarray, v)) if isinstance(v, (list, tuple)) else np.asarray(v))
          for k, v in params.items()}
-    # the framework folds By into Wy's last column; the oracle keeps the
-    # reference's separate layout
-    p["By"] = p["Wy"][:, -1]
-    p["Wy"] = p["Wy"][:, :-1]
+    # the framework folds By into Wy at column h with tile padding beyond
+    # (models/gru.py); the oracle keeps the reference's separate layout
+    h_last = cfg.layers[-1]
+    p["By"] = p["Wy"][:, h_last]
+    p["Wy"] = p["Wy"][:, :h_last]
     layers = cfg.layers
     B = len(X)
     Yfull = np.concatenate([Y, neg]) if neg is not None else Y

@@ -11,14 +11,18 @@ from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.train.optimizers import make_optimizer
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
 @pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adadelta", "adam"])
 @pytest.mark.parametrize("momentum", [0.0, 0.4])
 @pytest.mark.parametrize("lmbd", [0.0, 0.01])
 @pytest.mark.parametrize("with_dupes_and_sentinels", [False, True])
-def test_fused_update_matches_xla(adapt, momentum, lmbd,
+def test_fused_update_matches_xla(version, adapt, momentum, lmbd,
                                   with_dupes_and_sentinels, monkeypatch):
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS_VERSION", version)
     rng = np.random.RandomState(0)
-    n_rows, d, n_idx = 64, 16, 24
+    # v3's manual DMA slices require a 128-aligned width (models/gru.py
+    # pad_cols guarantees it for real tables)
+    n_rows, d, n_idx = 64, (128 if version == "v3" else 16), 24
     cfg = GRU4RecConfig(adapt=adapt, momentum=momentum, lmbd=lmbd,
                         learning_rate=0.1, opt_state_dtype="float32")
     table = rng.randn(n_rows, d).astype(np.float32)
@@ -56,12 +60,14 @@ def test_fused_update_matches_xla(adapt, momentum, lmbd,
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
 @pytest.mark.parametrize("adapt", ["rmsprop", "adadelta", "adam"])
-def test_fused_update_narrow_state(adapt, monkeypatch):
+def test_fused_update_narrow_state(adapt, version, monkeypatch):
     """Narrow (bf16) EMA state: kernel and XLA paths must round identically
     (f32 math, storage-dtype rounding only on the persisted rows)."""
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS_VERSION", version)
     rng = np.random.RandomState(1)
-    n_rows, d, n_idx = 64, 16, 20
+    n_rows, d, n_idx = 64, (128 if version == "v3" else 16), 20
     cfg = GRU4RecConfig(adapt=adapt, momentum=0.4, learning_rate=0.1,
                         adapt_params=[0.9, 0.95], opt_state_dtype="bfloat16")
     table = rng.randn(n_rows, d).astype(np.float32)
