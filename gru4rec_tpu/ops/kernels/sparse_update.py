@@ -69,11 +69,17 @@ def _kernels_available() -> bool:
 # v3 (manual-DMA pipeline, dynamic length) dispatch threshold: it wins once
 # XLA's scatters lose fast-memory promotion, which is a per-table BYTE
 # budget, not a row count (PERF_NOTES.md "mid-size regime, resolved").
-# Measured full-step winners: Diginetica 110MB tables (+68%) and Rees46
-# 512MB (+54%); measured losers: Yoochoose 76MB (-4%, one state buffer
-# still gets promoted) and the 38MB flagship (everything promoted).
-V3_MIN_TABLE_BYTES = 96 * 1024 * 1024
-V3_DEPTH = 4  # software pipeline depth (in-flight groups per direction)
+# Measured full-step winners at depth 16: Rees46 512MB tables (+108%),
+# Diginetica 110MB (+117%), Yoochoose 76MB (+29%); measured loser: the
+# 38MB flagship (-24%: every state buffer gets fast-memory promotion and
+# XLA's promoted scatters are cheaper than any per-group DMA).
+V3_MIN_TABLE_BYTES = 64 * 1024 * 1024
+# Software pipeline depth (in-flight groups per direction). Each (8, d)
+# group DMA is latency-bound (~16-20KB), so deep pipelining keeps winning
+# well past classic double-buffering: measured Rees46 full step at
+# D=4/6/8/12/16 = 777/688/625/583/578 us. VMEM cost is
+# streams x 2 x D x 8 x d x itemsize (~3MB worst case at d=640 adam).
+V3_DEPTH = 16
 
 
 def group_pack(idx, g, n_rows, return_slot_rows: bool = False,
