@@ -181,7 +181,8 @@ class BPR:
 
     def __init__(self, n_factors=100, n_iterations=10, learning_rate=0.01,
                  lambda_session=0.0, lambda_item=0.0, sigma=0.05, init_normal=False,
-                 session_key="SessionId", item_key="ItemId", seed=42):
+                 session_key="SessionId", item_key="ItemId", seed=42,
+                 batch_size=1):
         self.n_factors = n_factors
         self.n_iterations = n_iterations
         self.learning_rate = learning_rate
@@ -193,6 +194,12 @@ class BPR:
         self.item_key = item_key
         self.current_session = None
         self.rng = np.random.RandomState(seed)
+        # batch_size=1 reproduces the reference's per-event SGD exactly
+        # (baselines.py:339-358) but is a pure-Python loop, unusable at
+        # RSC15 scale; batch_size>1 applies vectorized mini-batch updates
+        # (duplicate-index gradients summed) — the standard batched-BPR
+        # approximation, ~1000x faster on large data.
+        self.batch_size = batch_size
 
     def _init(self):
         r = self.rng
@@ -218,17 +225,37 @@ class BPR:
         lr, ls, li = self.learning_rate, self.lambda_session, self.lambda_item
         for it in range(self.n_iterations):
             costs = []
-            for e in self.rng.permutation(len(data)):
+            order = self.rng.permutation(len(data))
+            if self.batch_size <= 1:
+                for e in order:
+                    u, p = uidx[e], iidx[e]
+                    n = iidx[self.rng.randint(self.n_items)]
+                    uF, iF1, iF2 = self.U[u].copy(), self.I[p].copy(), self.I[n].copy()
+                    sigm = 1.0 / (1.0 + np.exp(-(iF1 @ uF - iF2 @ uF + self.bI[p] - self.bI[n])))
+                    c = 1.0 - sigm
+                    self.U[u] += lr * (c * (iF1 - iF2) - ls * uF)
+                    self.I[p] += lr * (c * uF - li * iF1)
+                    self.I[n] += lr * (-c * uF - li * iF2)
+                    # the reference never updates bI (baselines.py:349-358); kept for parity
+                    costs.append(np.log(max(sigm, 1e-12)))
+                print(it, float(np.mean(costs)))
+                continue
+            for lo in range(0, len(order), self.batch_size):
+                e = order[lo: lo + self.batch_size]
                 u, p = uidx[e], iidx[e]
-                n = iidx[self.rng.randint(self.n_items)]
-                uF, iF1, iF2 = self.U[u].copy(), self.I[p].copy(), self.I[n].copy()
-                sigm = 1.0 / (1.0 + np.exp(-(iF1 @ uF - iF2 @ uF + self.bI[p] - self.bI[n])))
-                c = 1.0 - sigm
-                self.U[u] += lr * (c * (iF1 - iF2) - ls * uF)
-                self.I[p] += lr * (c * uF - li * iF1)
-                self.I[n] += lr * (-c * uF - li * iF2)
-                # the reference never updates bI (baselines.py:349-358); kept for parity
-                costs.append(np.log(max(sigm, 1e-12)))
+                n = iidx[self.rng.randint(self.n_items, size=len(e))]
+                uF, iF1, iF2 = self.U[u], self.I[p], self.I[n]
+                sigm = 1.0 / (1.0 + np.exp(
+                    -(np.sum((iF1 - iF2) * uF, axis=1) + self.bI[p] - self.bI[n])
+                ))
+                c = (1.0 - sigm)[:, None]
+                gU = c * (iF1 - iF2) - ls * uF
+                gP = c * uF - li * iF1
+                gN = -c * uF - li * iF2
+                np.add.at(self.U, u, lr * gU)
+                np.add.at(self.I, p, lr * gP)
+                np.add.at(self.I, n, lr * gN)
+                costs.append(float(np.mean(np.log(np.maximum(sigm, 1e-12)))))
             print(it, float(np.mean(costs)))
 
     def predict_next(self, session_id, input_item_id, predict_for_item_ids):

@@ -211,6 +211,18 @@ def test_bpr_baseline_learns():
     assert r_bpr > r_rnd
 
 
+def test_bpr_batched_mode_learns():
+    """batch_size>1 trades the reference's per-event SGD for vectorized
+    mini-batches (usable at RSC15 scale); it must still learn."""
+    train = markov_df(150)
+    bpr = BPR(n_factors=16, n_iterations=6, learning_rate=0.05, batch_size=64)
+    bpr.fit(train)
+    rnd = RandomPred()
+    r_bpr, _ = evaluate_sessions(bpr, markov_df(20, seed=6), train, cut_off=10)
+    r_rnd, _ = evaluate_sessions(rnd, markov_df(20, seed=6), train, cut_off=10)
+    assert r_bpr > r_rnd
+
+
 def test_cli_param_file(tsv_files, tmp_path):
     """-pf loads an OrderedDict param-file module (reference run.py:88-95)."""
     train_p, test_p, _ = tsv_files
