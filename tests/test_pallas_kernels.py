@@ -92,6 +92,45 @@ def test_fused_update_narrow_state(adapt, version, monkeypatch):
                                    err_msg=k)
 
 
+def test_group_pack_invariants():
+    """group_pack's packing contract: duplicate occurrences sum into one
+    slot, real groups occupy slots [0, nreal), padded steps point at the
+    dummy (all-padding) group, membership bits mark exactly the distinct
+    touched sublanes, and slot_rows lists each distinct row once."""
+    from gru4rec_tpu.ops.kernels.sparse_update import group_pack
+
+    n_rows = 64  # last 8 rows are padding; dummy group = 7
+    idx = np.array([3, 11, 3, 12, 40, 40, 40, 2**31 - 1, 2**31 - 1],
+                   np.int32)
+    g = np.arange(9, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+    gblk, mask, gpad, slot_rows, nreal = group_pack(
+        jnp.asarray(idx), jnp.asarray(g), n_rows,
+        return_slot_rows=True, return_nreal=True)
+    gblk, mask, gpad, slot_rows = map(np.asarray, (gblk, mask, gpad, slot_rows))
+    # distinct groups: {0 (rows 3), 1 (rows 11,12), 5 (row 40)} -> nreal 3
+    assert int(np.asarray(nreal)[0]) == 3
+    assert list(gblk[:3]) == [0, 1, 5]
+    assert (gblk[3:] == 7).all()  # dummy group for padded steps
+    # membership bits: group 0 -> row 3 (bit 3); group 1 -> rows 11,12
+    # (bits 3,4); group 5 -> row 40 (bit 0)
+    assert mask[0] == 1 << 3
+    assert mask[1] == (1 << 3) | (1 << 4)
+    assert mask[2] == 1 << 0
+    # duplicate summing: row 3 occurred with g-rows 0 and 2 -> 2.0
+    np.testing.assert_allclose(gpad[0 * 8 + 3], 2.0)
+    np.testing.assert_allclose(gpad[1 * 8 + 3], 1.0)   # row 11
+    np.testing.assert_allclose(gpad[1 * 8 + 4], 3.0)   # row 12
+    np.testing.assert_allclose(gpad[2 * 8 + 0], 4 + 5 + 6.0)  # row 40 x3
+    # non-member slots are zero
+    assert gpad.sum() == (2 + 1 + 3 + 15) * 4
+    # slot_rows: each distinct row exactly once at its slot
+    assert slot_rows[0 * 8 + 3] == 3
+    assert slot_rows[1 * 8 + 3] == 11
+    assert slot_rows[1 * 8 + 4] == 12
+    assert slot_rows[2 * 8 + 0] == 40
+    assert (np.sort(slot_rows[slot_rows < n_rows]) == [3, 11, 12, 40]).all()
+
+
 def test_fit_with_forced_pallas_matches_xla(monkeypatch):
     """End-to-end: training with the fused kernel must reproduce the
     XLA-path parameters."""
