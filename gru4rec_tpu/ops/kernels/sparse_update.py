@@ -99,10 +99,9 @@ def group_pack(idx, g, n_rows, return_slot_rows: bool = False,
     * ``gpad``  (8K, d) — gradient rows scatter-ADDED to slot
       ``8*group_slot + (row & 7)`` (duplicate occurrences of a row share a
       slot and sum — the dedup semantics); all other slots zero;
-    * with ``return_slot_rows``: ``slot_rows`` (8K,) int32 — the global row
-      id occupying each slot (each distinct touched row exactly once,
-      ascending; drop-sentinel elsewhere) — the adam path's count-update /
-      bias-correction index;
+    * with ``return_slot_rows``: ``crows``/``cslots`` (K,) int32 — the i-th
+      distinct touched row id and its packed slot (ascending; drop-sentinel
+      tail) — the adam path's count-update / bias-correction indices;
     * with ``return_nreal``: ``nreal`` (1,) int32 — the number of REAL
       (non-dummy) groups, which always occupy grid slots [0, nreal); the v3
       kernel loops over only these.
@@ -136,11 +135,17 @@ def group_pack(idx, g, n_rows, return_slot_rows: bool = False,
     )
     out = [gblk, mask, gpad]
     if return_slot_rows:
-        first_slot = jnp.where(valid & head, slot, 8 * K)
-        slot_rows = jnp.full((8 * K,), sentinel).at[first_slot].set(
-            sidx, mode="drop", indices_are_sorted=True, unique_indices=True
-        )
-        out.append(slot_rows)
+        # COMPACT (K-long) bookkeeping: entry i = the i-th distinct touched
+        # row and its packed slot (ascending; sentinel tail). 1-D index ops
+        # in slot space (8K long) cost ~8x more per use — adam's count
+        # gather/scatter measured 232 us/step that way.
+        rank = jnp.cumsum((head & valid).astype(jnp.int32)) - 1
+        tgt = jnp.where(head & valid, rank, K)
+        crows = jnp.full((K,), sentinel).at[tgt].set(
+            sidx, mode="drop", unique_indices=True)
+        cslots = jnp.full((K,), 8 * K).at[tgt].set(
+            slot.astype(jnp.int32), mode="drop", unique_indices=True)
+        out += [crows, cslots]
     if return_nreal:
         out.append(jnp.sum(ghead & valid).astype(jnp.int32).reshape((1,)))
     return tuple(out)

@@ -284,22 +284,30 @@ class Optimizer:
             # scatter, so the kernel path skips dedup_rows entirely
             corr1 = corr2 = None
             if self.adapt == "adam":
-                gblk, mask, gpad, slot_rows, nreal = group_pack(
+                gblk, mask, gpad, crows, cslots, nreal = group_pack(
                     idx, g, table.shape[0], return_slot_rows=True,
                     return_nreal=True)
                 # per-row step counts + bias corrections live OUTSIDE the
-                # kernel (cheap 1-D XLA gather/scatter); the kernel consumes
-                # packed per-slot correction columns
-                cnt = st["count"].at[slot_rows].get(
+                # kernel as COMPACT K-length 1-D ops (slot-space 8K-length
+                # indexing cost 232 us/step at the Rees46 shape); the kernel
+                # consumes per-slot correction columns scattered from them.
+                # Non-member slots keep corr=1 — their inf/NaN-free dummy
+                # value; the kernel masks those lanes anyway.
+                K = idx.shape[0]
+                cnt = st["count"].at[crows].get(
                     mode="fill", fill_value=0.0, indices_are_sorted=True,
                     unique_indices=True,
                 ).astype(jnp.float32) + 1.0
-                count_new = st["count"].at[slot_rows].set(
+                count_new = st["count"].at[crows].set(
                     cnt.astype(st["count"].dtype), mode="drop",
                     indices_are_sorted=True, unique_indices=True,
                 )
-                corr1 = (1.0 - self.v1 ** cnt)[:, None]
-                corr2 = (1.0 - self.v2 ** cnt)[:, None]
+                corr1 = jnp.ones((8 * K, 1), jnp.float32).at[cslots, 0].set(
+                    1.0 - self.v1 ** cnt, mode="drop",
+                    indices_are_sorted=True, unique_indices=True)
+                corr2 = jnp.ones((8 * K, 1), jnp.float32).at[cslots, 0].set(
+                    1.0 - self.v2 ** cnt, mode="drop",
+                    indices_are_sorted=True, unique_indices=True)
             else:
                 gblk, mask, gpad, nreal = group_pack(
                     idx, g, table.shape[0], return_nreal=True)

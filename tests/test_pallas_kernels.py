@@ -103,10 +103,11 @@ def test_group_pack_invariants():
     idx = np.array([3, 11, 3, 12, 40, 40, 40, 2**31 - 1, 2**31 - 1],
                    np.int32)
     g = np.arange(9, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
-    gblk, mask, gpad, slot_rows, nreal = group_pack(
+    gblk, mask, gpad, crows, cslots, nreal = group_pack(
         jnp.asarray(idx), jnp.asarray(g), n_rows,
         return_slot_rows=True, return_nreal=True)
-    gblk, mask, gpad, slot_rows = map(np.asarray, (gblk, mask, gpad, slot_rows))
+    gblk, mask, gpad, crows, cslots = map(
+        np.asarray, (gblk, mask, gpad, crows, cslots))
     # distinct groups: {0 (rows 3), 1 (rows 11,12), 5 (row 40)} -> nreal 3
     assert int(np.asarray(nreal)[0]) == 3
     assert list(gblk[:3]) == [0, 1, 5]
@@ -123,12 +124,11 @@ def test_group_pack_invariants():
     np.testing.assert_allclose(gpad[2 * 8 + 0], 4 + 5 + 6.0)  # row 40 x3
     # non-member slots are zero
     assert gpad.sum() == (2 + 1 + 3 + 15) * 4
-    # slot_rows: each distinct row exactly once at its slot
-    assert slot_rows[0 * 8 + 3] == 3
-    assert slot_rows[1 * 8 + 3] == 11
-    assert slot_rows[1 * 8 + 4] == 12
-    assert slot_rows[2 * 8 + 0] == 40
-    assert (np.sort(slot_rows[slot_rows < n_rows]) == [3, 11, 12, 40]).all()
+    # compact bookkeeping: i-th distinct row + its slot, sentinel tail
+    assert list(crows[:4]) == [3, 11, 12, 40]
+    assert (crows[4:] == 2**31 - 1).all()
+    assert list(cslots[:4]) == [0 * 8 + 3, 1 * 8 + 3, 1 * 8 + 4, 2 * 8 + 0]
+    assert (cslots[4:] == 8 * len(idx)).all()
 
 
 def test_fit_with_forced_pallas_matches_xla(monkeypatch):
