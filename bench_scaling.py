@@ -39,7 +39,21 @@ def synth_data(n_events, seed=0):
     )
 
 
+def _apply_platform_env():
+    # A site-installed accelerator plugin registers itself before this
+    # process reads its environment, after which the JAX_PLATFORMS env var
+    # alone is silently ignored; apply it explicitly (same as cli/run.py)
+    # so the documented virtual-mesh invocation actually runs on CPU.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def main():
+    _apply_platform_env()
     import contextlib
     import io
 

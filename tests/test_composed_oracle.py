@@ -236,3 +236,14 @@ def test_composed_two_layers(mode):
         **MODES[mode],
     ))
     assert_cell_matches(*cell)
+
+
+def test_composed_selu_activations():
+    """Parameterized selu-<l>-<a> final act + leaky hidden act through the
+    full composed step (the string-parsed activation grammar end-to-end)."""
+    cell = run_cell(dict(
+        loss="top1", final_act="selu-1.0507-1.6733", hidden_act="leaky-0.2",
+        layers=[7], n_sample=6, sample_alpha=0.75, learning_rate=0.08,
+        adapt="adagrad", embedding=7,
+    ))
+    assert_cell_matches(*cell)

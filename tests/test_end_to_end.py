@@ -106,6 +106,23 @@ def test_nan_abort_sets_error_flag():
             evaluate(m, data, cut_off=[5], batch_size=8)
 
 
+def test_train_random_order():
+    """train_random_order=True shuffles sessions per epoch (reference:
+    gru4rec.py:593): schedules must differ across epochs (no chunk caching)
+    and the model must still learn the chain."""
+    data = markov_data(n_sessions=250)
+    cfg = GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[32], batch_size=16,
+        n_sample=16, learning_rate=0.1, n_epochs=4, chunk_size=64,
+        item_pad_multiple=32, train_random_order=True,
+    )
+    m = GRU4Rec(cfg)
+    m.fit(data)
+    assert not m.error_during_train
+    rec, _ = evaluate(m, markov_data(40, seed=3), cut_off=[1], batch_size=16)
+    assert rec[0] > 0.7, f"recall@1 = {rec[0]}"
+
+
 def test_train_with_no_extra_negatives():
     """n_sample=0 trains on within-batch negatives only: the empty-negatives
     branch of the step (train/step.py) plus the scheduler's >=2-live-lanes
