@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Log the primary metric at the end of the run. Only works with one test file and one list length.")
     parser.add_argument("-d", "--device", metavar="D", type=str, default=None,
                         help="Device override (e.g. cpu) for debugging; default is the TPU runtime.")
+    parser.add_argument("-vd", "--valid_data", metavar="PATH", type=str, default=None,
+                        help="Held-out set evaluated during training (validation "
+                             "Recall/MRR per epoch; beyond the reference).")
+    parser.add_argument("-vp", "--valid_patience", metavar="N", type=int, default=0,
+                        help="Early-stop after N validation evaluations without "
+                             "improvement (0 = off; requires -vd). The best-"
+                             "validation parameters are kept.")
+    parser.add_argument("-vm", "--valid_cutoff", metavar="AT", type=int, default=20,
+                        help="Cutoff for the validation metric (default 20).")
     return parser
 
 
@@ -115,9 +124,18 @@ def main(argv=None) -> int:
         print("Loading training data...")
         data = load_data(args.path, args.session_key, args.item_key, args.time_key)
         print("Started training")
+        fit_kwargs = {}
+        if args.valid_data is not None:
+            fit_kwargs.update(
+                eval_data=load_data(args.valid_data, args.session_key,
+                                    args.item_key, args.time_key),
+                eval_cutoff=args.valid_cutoff,
+                early_stop_patience=args.valid_patience,
+            )
         t0 = time.time()
         gru.fit(data, sample_store=args.sample_store_size,
-                store_type="cpu" if args.sample_store_on_cpu else "gpu")
+                store_type="cpu" if args.sample_store_on_cpu else "gpu",
+                **fit_kwargs)
         print("Total training time: {:.2f}s".format(time.time() - t0))
         if gru.error_during_train:
             print("ERROR: training diverged (NaN loss)")

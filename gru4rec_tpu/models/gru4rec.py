@@ -87,7 +87,11 @@ class GRU4Rec:
             store_type: str = "gpu", n_epochs: Optional[int] = None,
             retrain: bool = False, checkpoint_every: int = 0,
             checkpoint_path: Optional[str] = None, resume: Optional[str] = None,
-            profile_dir: Optional[str] = None, mesh=None):
+            profile_dir: Optional[str] = None, mesh=None,
+            eval_data: Optional[pd.DataFrame] = None, eval_every: int = 1,
+            eval_cutoff: int = 20, eval_batch_size: int = 512,
+            eval_mode: str = "standard", eval_metric: str = "recall",
+            early_stop_patience: int = 0, keep_best: bool = True):
         """Train the network (reference: gru4rec.py:515-664).
 
         ``sample_store``/``store_type`` are accepted for CLI/API parity but
@@ -107,12 +111,24 @@ class GRU4Rec:
           see parallel/mesh.py) trains multi-chip: lanes data-parallel, item
           tables row-sharded. Parameters are gathered back to host at the
           end so evaluation/serving work unchanged.
+        * ``eval_data`` turns on validation during training: every
+          ``eval_every`` epochs the held-out set is scored with the compiled
+          evaluator (Recall@/MRR@``eval_cutoff``, ``eval_mode`` tie
+          handling; cached compile, so per-epoch cost is one eval pass).
+          With ``early_stop_patience=k`` training stops after k consecutive
+          evaluations without improvement of ``eval_metric``
+          ("recall"/"mrr"), and with ``keep_best`` (default) the parameters
+          of the best evaluation are restored at the end — capabilities the
+          reference lacks entirely. Validation results are collected in
+          ``self.valid_stats``.
         """
         cfg = self.config
         self._predict_fn = None
         self._topk_fn = None
         self.error_during_train = False
         self.epoch_stats = []  # per-epoch {loss, seconds, steps, events}
+        self.valid_stats = []  # per-eval {epoch, recall, mrr}
+        best_metric, best_params, stale = -np.inf, None, 0
         item_key, session_key, time_key = cfg.item_key, cfg.session_key, cfg.time_key
 
         from gru4rec_tpu.utils.logging import get_logger
@@ -283,6 +299,41 @@ class GRU4Rec:
                     epoch + 1, avgc, dt, T / dt, total_events / dt
                 )
             )
+            if eval_data is not None and (epoch + 1) % max(eval_every, 1) == 0:
+                from gru4rec_tpu.eval import evaluate as _evaluate
+
+                if mesh is not None:
+                    from gru4rec_tpu.parallel.dist_step import unshard_train_state
+
+                    eval_state = unshard_train_state(state, cfg, mesh)
+                else:
+                    eval_state = state
+                self.params = eval_state.params
+                rec, mrr = _evaluate(
+                    self, eval_data, cut_off=[eval_cutoff],
+                    batch_size=eval_batch_size, mode=eval_mode,
+                    session_key=session_key, item_key=item_key,
+                    time_key=time_key,
+                )
+                metric = rec[0] if eval_metric == "recall" else mrr[0]
+                self.valid_stats.append(
+                    {"epoch": epoch + 1, "recall": rec[0], "mrr": mrr[0]})
+                logger.log("valid", epoch=epoch + 1, recall=rec[0], mrr=mrr[0])
+                print("Validation Recall@{}: {:.6f} MRR@{}: {:.6f}".format(
+                    eval_cutoff, rec[0], eval_cutoff, mrr[0]))
+                if metric > best_metric:
+                    best_metric, stale = metric, 0
+                    if keep_best:
+                        best_params = jax.tree_util.tree_map(
+                            np.asarray, eval_state.params)
+                else:
+                    stale += 1
+                    if early_stop_patience and stale >= early_stop_patience:
+                        print(
+                            f"Early stopping at epoch {epoch + 1} (no "
+                            f"{eval_metric} improvement in {stale} evaluations)"
+                        )
+                        break
             if checkpoint_every and checkpoint_path and (epoch + 1) % checkpoint_every == 0:
                 from gru4rec_tpu.io.checkpoint import save_train_checkpoint
 
@@ -305,6 +356,12 @@ class GRU4Rec:
             from gru4rec_tpu.parallel.dist_step import unshard_train_state
 
             state = unshard_train_state(state, cfg, mesh)
+        if best_params is not None:
+            # keep_best: serve/save the best-validation parameters (the
+            # optimizer state stays at the last epoch for resumability)
+            state = state._replace(
+                params=jax.tree_util.tree_map(jnp.asarray, best_params)
+            )
         self._train_state = state
         self.params = state.params
         self.H = state.H

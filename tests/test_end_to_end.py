@@ -106,6 +106,30 @@ def test_nan_abort_sets_error_flag():
             evaluate(m, data, cut_off=[5], batch_size=8)
 
 
+def test_validation_early_stopping_and_keep_best():
+    """fit(eval_data=...) evaluates every epoch, stops after `patience`
+    evaluations without improvement, and restores the best parameters."""
+    data = markov_data(n_sessions=250)
+    valid = markov_data(n_sessions=60, seed=77)
+    cfg = GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[32], batch_size=16,
+        n_sample=16, learning_rate=0.1, n_epochs=30, chunk_size=64,
+        item_pad_multiple=32,
+    )
+    m = GRU4Rec(cfg)
+    m.fit(data, eval_data=valid, eval_every=1, eval_cutoff=1,
+          eval_batch_size=16, early_stop_patience=2)
+    # a deterministic chain saturates recall@1 quickly: the run must stop
+    # well before 30 epochs and record one validation row per epoch run
+    assert len(m.epoch_stats) < 30
+    assert len(m.valid_stats) == len(m.epoch_stats)
+    best = max(v["recall"] for v in m.valid_stats)
+    assert best > 0.9
+    # keep_best: the served parameters reproduce the best validation recall
+    rec, _ = evaluate(m, valid, cut_off=[1], batch_size=16)
+    np.testing.assert_allclose(rec[0], best, atol=1e-6)
+
+
 def test_train_random_order():
     """train_random_order=True shuffles sessions per epoch (reference:
     gru4rec.py:593): schedules must differ across epochs (no chunk caching)
