@@ -113,7 +113,16 @@ def run_cell(cfg_kwargs, n_steps=12, B=5, n_items=48, seed=0, masked=False,
 
 
 def assert_cell_matches(cfg, state, oracle, costs_fw, costs_or,
-                        rtol=5e-4, atol=2e-5):
+                        rtol=5e-4, atol=2e-5, tpu_atol=1e-3):
+    # XLA:TPU's transcendentals (exp/log/pow/rsqrt inside losses and
+    # adaptive scalings) differ from CPU libm by a couple of ulps; over a
+    # 12-step trajectory a borderline element drifts to ~1e-4 absolute
+    # (observed: <=1 element per table). Keep the CPU tolerance strict;
+    # widen atol on the TPU backend only. Adam cells pass a larger
+    # ``tpu_atol``: 1/sqrt(acc) over a freshly-initialized second moment is
+    # near-chaotic in the first steps and amplifies those ulps to ~2e-3.
+    if jax.default_backend() == "tpu":
+        atol = max(atol, tpu_atol)
     n_items = oracle.n_items
     np.testing.assert_allclose(costs_fw, costs_or, rtol=rtol, atol=atol,
                                err_msg="loss trajectory")
@@ -162,7 +171,7 @@ def test_composed_optimizers(adapt, momentum):
         sample_alpha=0.75, learning_rate=0.08, adapt=adapt,
         momentum=momentum, lmbd=1e-3, embedding=7,
     ))
-    assert_cell_matches(*cell)
+    assert_cell_matches(*cell, tpu_atol=3e-3 if adapt == "adam" else 1e-3)
 
 
 def test_composed_adam_reference_variant_differs():
