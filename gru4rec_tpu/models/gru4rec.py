@@ -308,6 +308,11 @@ class GRU4Rec:
                     eval_state = unshard_train_state(state, cfg, mesh)
                 else:
                     eval_state = state
+                # point the evaluator at the live parameters only for the
+                # duration of the call: the next epoch's chunk dispatch
+                # DONATES the state buffers, which would leave self.params
+                # dangling for anyone touching the model mid-fit
+                prev_params = self.params
                 self.params = eval_state.params
                 rec, mrr = _evaluate(
                     self, eval_data, cut_off=[eval_cutoff],
@@ -315,6 +320,7 @@ class GRU4Rec:
                     session_key=session_key, item_key=item_key,
                     time_key=time_key,
                 )
+                self.params = prev_params
                 metric = rec[0] if eval_metric == "recall" else mrr[0]
                 self.valid_stats.append(
                     {"epoch": epoch + 1, "recall": rec[0], "mrr": mrr[0]})
