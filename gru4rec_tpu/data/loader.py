@@ -31,7 +31,20 @@ def load_data(fname: str, session_key: str = "SessionId", item_key: str = "ItemI
 
     if fname.endswith(".pickle"):
         print(f"Loading data from pickle file: {fname}")
-        data = pd.read_pickle(fname)
+        try:
+            data = pd.read_pickle(fname)
+        except Exception:
+            # the reference dumps datasets with joblib (run.py:48), whose
+            # archive format plain pickle cannot read — accept those too so
+            # a user's existing .pickle files keep working
+            try:
+                import joblib
+            except ImportError as exc:  # pragma: no cover
+                raise ValueError(
+                    f"{fname} is not a pandas pickle and joblib is not "
+                    "installed to try its format"
+                ) from exc
+            data = joblib.load(fname)
         check_columns(list(data.columns), "frame")
     else:
         with open(fname, "rt") as f:

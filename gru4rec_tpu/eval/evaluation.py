@@ -75,7 +75,7 @@ def _cached_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
 
 
 def _cached_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
-                               mesh, items_subset):
+                               mesh, items_subset, scratch_rows=0):
     import json
 
     key = (
@@ -83,12 +83,13 @@ def _cached_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode, batch_size,
         n_items, tuple(int(c) for c in cutoffs), tie_mode, int(batch_size),
         tuple(mesh.shape.items()),
         tuple(d.id for d in mesh.devices.flat),
-        bool(items_subset),
+        bool(items_subset), int(scratch_rows),
     )
     return _cache_get_or_build(
         key,
         lambda: make_dist_eval_chunk_fn(cfg, n_items, cutoffs, tie_mode,
-                                        batch_size, mesh, items_subset),
+                                        batch_size, mesh, items_subset,
+                                        scratch_rows),
     )
 
 
@@ -182,7 +183,8 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
 
 def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
                             cutoffs: Sequence[int], tie_mode: str,
-                            batch_size: int, mesh, items_subset: bool = False):
+                            batch_size: int, mesh, items_subset: bool = False,
+                            scratch_rows: int = 0):
     """Multi-chip full-catalog evaluation (SURVEY.md §2.10: sharded matmul
     over the row-sharded item table). Rank-based Recall/MRR distributes
     without any top-k: each model shard counts how many of ITS items outscore
@@ -196,6 +198,11 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
     owns (the rest gather as zero and are masked from the counts) and the
     comparison counts are psum-reduced, with the single-chip path's
     self-comparison adjustment applied unchanged.
+
+    ``scratch_rows=k`` evaluates item tables in the TRAINING shard layout
+    (parallel/dist_step.py: each row-shard carries k trailing kernel-scratch
+    rows). This lets fit()'s in-fit validation run directly on the live
+    sharded train state without ever gathering the item table to one chip.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -224,12 +231,15 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
 
     def chunk_body(params, H, in_c, out_c, valid_c, reset_c, rec, mrr, n, key,
                    step, item_idx=None):
-        rows_local = params["Wy"].shape[0]
+        rows_total = params["Wy"].shape[0]
+        # trailing per-shard kernel-scratch rows (training layout) own no
+        # item: global id r0+j only exists for j < rows_local
+        rows_local = rows_total - scratch_rows
         mi = jax.lax.axis_index("model")
         r0 = mi * rows_local
-        # global ids of this shard's rows; padding rows masked out
-        col_ids = r0 + jnp.arange(rows_local)
-        col_valid = col_ids < n_items
+        # global ids of this shard's rows; padding/scratch rows masked out
+        col_ids = r0 + jnp.arange(rows_total)
+        col_valid = (jnp.arange(rows_total) < rows_local) & (col_ids < n_items)
 
         def gather_rows(shard, idx):
             loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
@@ -435,9 +445,26 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
 
         from gru4rec_tpu.parallel.mesh import param_pspecs
 
+        # detect the training shard layout (per-shard kernel scratch rows
+        # appended to every item-table shard, parallel/dist_step.py): in-fit
+        # validation passes the live sharded train state unchanged
+        from gru4rec_tpu.parallel.dist_step import SCRATCH_ROWS
+
+        nm = mesh.shape["model"]
+        n_pad = gru.pad_items(gru_model.n_items, cfg.item_pad_multiple)
+        wy_rows = int(gru_model.params["Wy"].shape[0])
+        if wy_rows == n_pad + SCRATCH_ROWS * nm:
+            scratch = SCRATCH_ROWS
+        elif wy_rows == n_pad:
+            scratch = 0
+        else:
+            raise ValueError(
+                f"Wy has {wy_rows} rows; expected {n_pad} (canonical) or "
+                f"{n_pad + SCRATCH_ROWS * nm} (training shard layout)"
+            )
         chunk_fn = _cached_dist_eval_chunk_fn(
             cfg, gru_model.n_items, cutoffs, mode, batch_size, mesh,
-            items_subset,
+            items_subset, scratch_rows=scratch,
         )
         mode_in = gru.input_mode(cfg)
         pspec = param_pspecs(gru_model.params, mode_in)
@@ -631,9 +658,17 @@ def evaluate_sessions(pr, test_data, train_data, items=None, cut_off=20,
             )
             scores = np.nan_to_num(scores, nan=0.0)
             scores = scores + 1e-8 * rng.rand(*scores.shape)
-            tscore = scores[
-                np.arange(len(targets)), pd.Index(cols).get_indexer(targets)
-            ]
+            tcol = pd.Index(cols).get_indexer(targets)
+            if (tcol < 0).any():
+                # a -1 indexer would silently score the LAST column as the
+                # target; the reference KeyErrors on unknown targets
+                # (evaluation.py:294) — fail loudly the same way
+                missing = pd.unique(targets[tcol < 0])
+                raise KeyError(
+                    f"test items not present in the training vocabulary: "
+                    f"{list(missing[:5])}{'...' if len(missing) > 5 else ''}"
+                )
+            tscore = scores[np.arange(len(targets)), tcol]
             cand = scores if cand_mask is None else scores[:, cand_mask]
             ranks = (cand > tscore[:, None]).sum(axis=1) + 1.0
         else:

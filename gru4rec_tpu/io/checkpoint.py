@@ -29,17 +29,37 @@ def _squeeze3(a):
 
 def _to_savable(a):
     """npz cannot round-trip bfloat16 (numpy reloads it as void); store the
-    raw bits as uint16. The loader restores the dtype from the rebuilt
-    optimizer-state template (whose dtypes come from the saved config)."""
+    raw bits as uint16. The saved dtype name travels alongside (see
+    ``opt_dtype/<i>`` entries) so the loader decodes from what was actually
+    written — NOT from the rebuilt template, whose storage dtypes can change
+    across versions (e.g. the decay-gated ``_ema_dtype`` change moved adam's
+    slow-EMA slots bf16→f32; decoding by template would have re-interpreted
+    uint16 bf16 bits as raw integers)."""
     a = np.asarray(a)
     if a.dtype == _BF16:
         return a.view(np.uint16)
     return a
 
 
-def _from_saved(a, like_dtype):
-    if np.dtype(like_dtype) == _BF16 and a.dtype == np.uint16:
-        return a.view(_BF16)
+def _from_saved(a, like_dtype, saved_dtype=None):
+    """Decode an optimizer leaf: restore the dtype it was SAVED with, then
+    cast to the template slot's dtype. ``saved_dtype=None`` means a
+    pre-dtype-tagging archive: a uint16 entry is only acceptable there when
+    the template slot itself is bf16 (anything else is ambiguous and
+    hard-errors rather than corrupt a resumed run)."""
+    if saved_dtype is not None:
+        a = a.view(_BF16) if saved_dtype == "bfloat16" else a
+        return a.astype(like_dtype) if a.dtype != np.dtype(like_dtype) else a
+    if a.dtype == np.uint16:
+        if np.dtype(like_dtype) == _BF16:
+            return a.view(_BF16)
+        raise ValueError(
+            "checkpoint holds a bf16-encoded (uint16) optimizer slot but the "
+            "current optimizer layout expects "
+            f"{np.dtype(like_dtype).name} there; this archive predates dtype "
+            "tagging and cannot be decoded safely — re-save it with the "
+            "version that wrote it"
+        )
     return a
 
 
@@ -97,6 +117,7 @@ def save_model(model, fname: str, include_optimizer: bool = False) -> None:
         flat, _ = jax.tree_util.tree_flatten(model._train_state.opt_state)
         for i, arr in enumerate(flat):
             payload[f"opt/{i}"] = _to_savable(arr)
+            payload[f"opt_dtype/{i}"] = np.array(str(np.asarray(arr).dtype))
         payload["meta/opt_step"] = np.asarray(model._train_state.step)
     np.savez(fname, **payload)
 
@@ -108,7 +129,9 @@ def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
     payload = _flatten_params(state.params)
     opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
     for i, leaf in enumerate(opt_leaves):
-        payload[f"opt/{i}"] = _to_savable(_squeeze3(leaf))
+        sq = _squeeze3(leaf)
+        payload[f"opt/{i}"] = _to_savable(sq)
+        payload[f"opt_dtype/{i}"] = np.array(str(sq.dtype))
     for i, h in enumerate(state.H):
         payload[f"state/H{i}"] = np.asarray(h)
     key = state.key
@@ -148,7 +171,11 @@ def load_train_checkpoint(fname: str, model):
         template = init_train_state(cfg, model.n_items, jax.random.PRNGKey(0))
         tmpl_leaves, treedef = jax.tree_util.tree_flatten(template.opt_state)
         opt_leaves = [
-            jnp.asarray(_from_saved(archive[f"opt/{i}"], leaf.dtype))
+            jnp.asarray(_from_saved(
+                archive[f"opt/{i}"], leaf.dtype,
+                saved_dtype=(str(archive[f"opt_dtype/{i}"])
+                             if f"opt_dtype/{i}" in archive.files else None),
+            ))
             for i, leaf in enumerate(tmpl_leaves)
         ]
         opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)

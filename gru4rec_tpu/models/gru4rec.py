@@ -221,7 +221,6 @@ class GRU4Rec:
         base_order = session_order(data, session_key, time_key, cfg.time_sort,
                                    len(offsets) - 1)
         data_items = data["ItemIdx"].values.astype(np.int32)
-        epoch_rng = np.random.RandomState(cfg.seed)
         C = cfg.chunk_size
         epochs = cfg.n_epochs if n_epochs is None else n_epochs
 
@@ -233,7 +232,14 @@ class GRU4Rec:
             t0 = time.time()
             state = state._replace(H=tuple(gru.init_hidden(cfg, cfg.batch_size)))
             if cfg.train_random_order:
-                order = epoch_rng.permutation(len(offsets) - 1)
+                # each epoch's permutation is a pure function of
+                # (seed, epoch) — NOT a stream advanced across epochs — so a
+                # resumed run (start_epoch > 0) replays exactly the orders an
+                # uninterrupted run would have used (reference analogue:
+                # gru4rec.py:593 reshuffles per epoch from global state,
+                # which would break exact resume)
+                order = np.random.default_rng(
+                    (cfg.seed, epoch)).permutation(len(offsets) - 1)
                 sched = build_schedule(
                     data_items, offsets, order, cfg.batch_size,
                     require_two_lanes=(cfg.n_sample == 0),
@@ -302,23 +308,21 @@ class GRU4Rec:
             if eval_data is not None and (epoch + 1) % max(eval_every, 1) == 0:
                 from gru4rec_tpu.eval import evaluate as _evaluate
 
-                if mesh is not None:
-                    from gru4rec_tpu.parallel.dist_step import unshard_train_state
-
-                    eval_state = unshard_train_state(state, cfg, mesh)
-                else:
-                    eval_state = state
                 # point the evaluator at the live parameters only for the
                 # duration of the call: the next epoch's chunk dispatch
                 # DONATES the state buffers, which would leave self.params
-                # dangling for anyone touching the model mid-fit
+                # dangling for anyone touching the model mid-fit. Under a
+                # mesh the LIVE SHARDED params go straight to the
+                # distributed evaluator (it understands the training shard
+                # layout incl. kernel scratch rows) — the full item table is
+                # never gathered to one chip.
                 prev_params = self.params
-                self.params = eval_state.params
+                self.params = state.params
                 rec, mrr = _evaluate(
                     self, eval_data, cut_off=[eval_cutoff],
                     batch_size=eval_batch_size, mode=eval_mode,
                     session_key=session_key, item_key=item_key,
-                    time_key=time_key,
+                    time_key=time_key, mesh=mesh,
                 )
                 self.params = prev_params
                 metric = rec[0] if eval_metric == "recall" else mrr[0]
@@ -330,8 +334,17 @@ class GRU4Rec:
                 if metric > best_metric:
                     best_metric, stale = metric, 0
                     if keep_best:
-                        best_params = jax.tree_util.tree_map(
-                            np.asarray, eval_state.params)
+                        if mesh is not None:
+                            # canonical-layout snapshot via per-shard host
+                            # copies (no device-side gather)
+                            from gru4rec_tpu.parallel.dist_step import (
+                                unshard_params)
+
+                            best_params = unshard_params(
+                                state.params, cfg, mesh)
+                        else:
+                            best_params = jax.tree_util.tree_map(
+                                np.asarray, state.params)
                 else:
                     stale += 1
                     if early_stop_patience and stale >= early_stop_patience:

@@ -104,6 +104,17 @@ def shard_train_state(state, cfg: GRU4RecConfig, mesh):
     return state._replace(params=params, opt_state=opt_state, H=H, key=key, step=step)
 
 
+def unshard_params(params, cfg: GRU4RecConfig, mesh):
+    """Gather just the parameters to host-local arrays in the canonical
+    layout (scratch rows stripped) — per-shard host fetches, no device ever
+    holds the whole item table. Used by fit()'s keep-best snapshots."""
+    mode = gru.input_mode(cfg)
+    nm = mesh.shape["model"]
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    return _map_item_tables(host, lambda a: np.asarray(_strip_scratch(a, nm)),
+                            mode)
+
+
 def unshard_train_state(state, cfg: GRU4RecConfig, mesh):
     """Gather a sharded TrainState back to host-local arrays in the canonical
     single-device layout (per-shard scratch rows stripped)."""

@@ -32,18 +32,22 @@ def small_cfg(**kw):
     return GRU4RecConfig(**base)
 
 
-def test_resume_is_exact(tmp_path):
+@pytest.mark.parametrize("random_order", [False, True])
+def test_resume_is_exact(tmp_path, random_order):
+    # random_order=True checks that each epoch's shuffle is a pure function
+    # of (seed, epoch): the resumed epochs must see the SAME session orders
+    # as the uninterrupted run
     data = markov_data()
     ckpt = str(tmp_path / "ck.npz")
 
     # straight 4-epoch run
-    m1 = GRU4Rec(small_cfg())
+    m1 = GRU4Rec(small_cfg(train_random_order=random_order))
     m1.fit(data)
 
     # 2 epochs + checkpoint, then resume for the remaining 2
-    m2 = GRU4Rec(small_cfg())
+    m2 = GRU4Rec(small_cfg(train_random_order=random_order))
     m2.fit(data, n_epochs=2, checkpoint_every=2, checkpoint_path=ckpt)
-    m3 = GRU4Rec(small_cfg())
+    m3 = GRU4Rec(small_cfg(train_random_order=random_order))
     m3.fit(data, resume=ckpt)
 
     for k in ("Wy",):
@@ -59,6 +63,59 @@ def test_resume_is_exact(tmp_path):
     l1 = [e["loss"] for e in m1.epoch_stats]
     l3 = [e["loss"] for e in m3.epoch_stats]
     np.testing.assert_allclose(l1[2:], l3, rtol=1e-4)
+
+
+def test_checkpoint_opt_dtype_tagging(tmp_path):
+    """Optimizer leaves are decoded from the dtype they were SAVED with, not
+    from the rebuilt template: a layout change that moves a slot bf16->f32
+    must cast the stored bf16 values, never reinterpret their raw uint16
+    bits; an untagged (old) archive whose uint16 entry no longer matches a
+    bf16 template slot must hard-error instead of corrupting the resume."""
+    import ml_dtypes
+
+    from gru4rec_tpu.io.checkpoint import _from_saved
+
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    vals = np.asarray([0.5, 1.25, -3.0], dtype=bf16)
+    stored = vals.view(np.uint16)
+
+    # tagged archive, same-dtype template: exact bit round-trip
+    out = _from_saved(stored, bf16, saved_dtype="bfloat16")
+    assert out.dtype == bf16 and np.array_equal(out.view(np.uint16), stored)
+    # tagged archive, template slot widened to f32: values cast, not bits
+    out = _from_saved(stored, np.float32, saved_dtype="bfloat16")
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, vals.astype(np.float32))
+    # tagged f32 entry narrowing to a bf16 template slot: cast
+    f32 = vals.astype(np.float32)
+    out = _from_saved(f32, bf16, saved_dtype="float32")
+    assert out.dtype == bf16
+    # untagged uint16 entry with a non-bf16 template slot: refuse
+    with pytest.raises(ValueError):
+        _from_saved(stored, np.float32, saved_dtype=None)
+    # untagged uint16 entry with a bf16 template slot: legacy decode
+    out = _from_saved(stored, bf16, saved_dtype=None)
+    assert out.dtype == bf16
+
+    # and a real end-to-end round trip with bf16 EMA state (rmsprop) keeps
+    # dtypes and values
+    data = markov_data(n_sessions=80)
+    ckpt = str(tmp_path / "ck.npz")
+    m = GRU4Rec(small_cfg(adapt="rmsprop", n_epochs=2))
+    m.fit(data, n_epochs=2, checkpoint_every=2, checkpoint_path=ckpt)
+    import jax
+
+    with np.load(ckpt, allow_pickle=False) as ar:
+        assert any(k.startswith("opt_dtype/") for k in ar.files)
+    m2 = GRU4Rec(small_cfg(adapt="rmsprop", n_epochs=2))
+    from gru4rec_tpu.io.checkpoint import load_train_checkpoint
+
+    state, epoch = load_train_checkpoint(ckpt, m2)
+    for a, b in zip(jax.tree_util.tree_leaves(m._train_state.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(
+            np.asarray(a).astype(np.float32), np.asarray(b).astype(np.float32))
 
 
 def test_retrain_extends_vocab(tmp_path):

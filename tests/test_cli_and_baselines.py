@@ -74,6 +74,37 @@ def test_cli_load_model(tsv_files):
     assert "PRIMARY METRIC:" in res.stdout
 
 
+def test_load_data_accepts_joblib_pickles(tmp_path):
+    """The reference dumps datasets with joblib (run.py:48); its archives are
+    not plain pickles, and a user's existing .pickle files must still load."""
+    import joblib
+
+    from gru4rec_tpu.data.loader import load_data
+
+    df = markov_df(10)
+    p = str(tmp_path / "train.pickle")
+    joblib.dump(df, p)
+    loaded = load_data(p)
+    pd.testing.assert_frame_equal(loaded, df)
+    # plain pandas pickles keep working
+    p2 = str(tmp_path / "train2.pickle")
+    df.to_pickle(p2)
+    pd.testing.assert_frame_equal(load_data(p2), df)
+
+
+def test_evaluate_sessions_unknown_target_raises():
+    """A test item absent from the training vocabulary must raise (like the
+    reference's KeyError, evaluation.py:294) instead of silently scoring the
+    wrong column."""
+    train = markov_df(50)
+    pr = Pop()
+    pr.fit(train)
+    test = markov_df(10, seed=3)
+    test.loc[test.index[1], "ItemId"] = "unseen-item"
+    with pytest.raises(KeyError):
+        evaluate_sessions(pr, test, train, cut_off=5)
+
+
 def test_cli_requires_exactly_one_mode(tsv_files):
     train_p, test_p, _ = tsv_files
     res = run_cli([train_p])

@@ -169,6 +169,54 @@ def test_fit_with_mesh_end_to_end():
     assert rec_d[0] > 0.8
 
 
+def test_infit_validation_under_mesh_matches_single_chip():
+    """fit(mesh=..., eval_data=...) must validate through the DISTRIBUTED
+    evaluator on the live sharded train state (scratch-row layout) — never
+    gathering the full item table to one chip — and report the same metrics
+    as the single-device fit."""
+    import pandas as pd
+
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+
+    rng = np.random.RandomState(7)
+    rows, t = [], 0
+    for s in range(150):
+        i = rng.randint(24)
+        for _ in range(rng.randint(3, 7)):
+            rows.append((s, f"it{i}", t)); t += 1; i = (7 * i + 3) % 24
+    data = pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+    valid = data[data.SessionId >= 120].copy()
+    train = data[data.SessionId < 120]
+
+    def cfg():
+        return GRU4RecConfig(loss="cross-entropy", final_act="softmax",
+                             layers=[16], batch_size=8, n_sample=8, n_epochs=3,
+                             chunk_size=32, item_pad_multiple=32,
+                             learning_rate=0.1, compute_dtype="float32",
+                             opt_state_dtype="float32")
+
+    mesh = make_mesh(2, 4)
+    kw = dict(eval_data=valid, eval_every=1, eval_cutoff=5, eval_batch_size=8)
+    m_dist = GRU4Rec(cfg())
+    m_dist.fit(train, mesh=mesh, **kw)
+    m_single = GRU4Rec(cfg())
+    m_single.fit(train, **kw)
+
+    assert len(m_dist.valid_stats) == len(m_single.valid_stats) == 3
+    for vd, vs in zip(m_dist.valid_stats, m_single.valid_stats):
+        np.testing.assert_allclose(vd["recall"], vs["recall"], atol=1e-6)
+        np.testing.assert_allclose(vd["mrr"], vs["mrr"], atol=1e-6)
+    # keep-best restored canonical-layout params at the end
+    from gru4rec_tpu.models import gru as grumod
+
+    n_pad = grumod.pad_items(m_dist.n_items, m_dist.config.item_pad_multiple)
+    assert np.asarray(m_dist.params["Wy"]).shape[0] == n_pad
+    np.testing.assert_allclose(
+        np.asarray(m_dist.params["Wy"]), np.asarray(m_single.params["Wy"]),
+        rtol=2e-4, atol=1e-6,
+    )
+
+
 def test_mesh_checkpoint_resume_roundtrip(tmp_path):
     """Checkpoints taken during mesh training store the canonical layout
     (per-shard kernel scratch rows stripped) and resume exactly — both on a
