@@ -47,6 +47,10 @@ def synth_data(seed=0):
 
 def main():
     from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+    from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+    cache_dir = enable_persistent_compilation_cache()
+    print(f"persistent compile cache: {cache_dir}", file=sys.stderr)
 
     data = synth_data()
     cfg = GRU4RecConfig(

@@ -94,6 +94,10 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", device)
 
+    from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from collections import OrderedDict
 
     from gru4rec_tpu.data.loader import load_data

@@ -170,6 +170,14 @@ def load_train_checkpoint(fname: str, model):
         # rebuild the optimizer-state structure, then fill with saved leaves
         template = init_train_state(cfg, model.n_items, jax.random.PRNGKey(0))
         tmpl_leaves, treedef = jax.tree_util.tree_flatten(template.opt_state)
+        n_saved = len([k for k in archive.files if k.startswith("opt/")])
+        if n_saved != len(tmpl_leaves):
+            raise ValueError(
+                f"checkpoint stores {n_saved} optimizer-state arrays but the "
+                f"current optimizer layout has {len(tmpl_leaves)} — the "
+                "archive was written by a version with a different state "
+                "layout and cannot be resumed safely"
+            )
         opt_leaves = [
             jnp.asarray(_from_saved(
                 archive[f"opt/{i}"], leaf.dtype,
@@ -178,6 +186,13 @@ def load_train_checkpoint(fname: str, model):
             ))
             for i, leaf in enumerate(tmpl_leaves)
         ]
+        for i, (saved, tmpl) in enumerate(zip(opt_leaves, tmpl_leaves)):
+            if tuple(saved.shape) != tuple(tmpl.shape):
+                raise ValueError(
+                    f"optimizer-state array opt/{i} has shape {saved.shape} "
+                    f"but the current layout expects {tmpl.shape} — the "
+                    "archive was written by an incompatible version"
+                )
         opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
         H = tuple(
             jnp.asarray(archive[f"state/H{i}"]) for i in range(len(cfg.layers))

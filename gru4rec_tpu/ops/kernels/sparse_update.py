@@ -32,9 +32,11 @@ defines:
   rmsprop/adam state, momentum velocity, L2) take a per-group member
   bitmask (scalar-prefetched) and ``where`` the non-members back to their
   inputs;
-* adam's bias corrections depend on per-row step counts, which live OUTSIDE
-  the kernel as a 1-D f32 array updated with cheap XLA ops; the per-slot
-  correction factors enter the kernel as packed (8K, 1) columns;
+* two-slot optimizers (adam, adadelta) keep their sparse state MERGED in
+  one buffer (train/optimizers.py init_state) so a single block DMA pair
+  serves every slot; adam's per-row step count rides along as a column of
+  that buffer and is incremented in-kernel, with the bias corrections
+  derived in-register (_neg_expm1) — no count bookkeeping outside;
 * padded grid steps (the group list is padded to static length) point at a
   dedicated all-padding dummy group (models/gru.py pad_items guarantees >= 8
   spare rows) so their write-backs can never clobber a real group — the grid
@@ -64,6 +66,17 @@ def _kernels_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _neg_expm1(x):
+    """-expm1(x) for adam's bias corrections 1 - v^c = -expm1(c ln v): the
+    naive 1 - exp(...) cancels catastrophically when v^c ~ 1 (v2=0.999,
+    small c). Mosaic has no expm1 primitive, so: 6-term series below
+    |x| < 0.5 (rel. err ~1.5e-6, below f32 noise), exp(x) - 1 above (no
+    cancellation there)."""
+    poly = x * (1 + x / 2 * (1 + x / 3 * (1 + x / 4 * (
+        1 + x / 5 * (1 + x / 6)))))
+    return -jnp.where(jnp.abs(x) < 0.5, poly, jnp.exp(x) - 1.0)
 
 
 # v3 (manual-DMA pipeline, dynamic length) dispatch threshold: it wins once
@@ -151,8 +164,8 @@ def group_pack(idx, g, n_rows, return_slot_rows: bool = False,
     return tuple(out)
 
 
-def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
-                  corr2, *, lr, momentum, lmbd, v1, v2, interpret):
+def _fused_update(adapt, table, acc, vel, gblk, mask, gpad, *, lr, momentum,
+                  lmbd, v1, v2, interpret):
     """Shared group-blocked kernel body for adagrad / rmsprop / adadelta / adam.
 
     Update math per touched row r (g already duplicate-summed by group_pack):
@@ -170,11 +183,17 @@ def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
         vel[r]    = momentum * vel[r] - delta        (if momentum > 0)
         table[r] += vel[r]                           (or -= delta)
 
-    ``extra`` is the second state slot: adam's first moment / adadelta's upd
-    (None otherwise). ``corr1``/``corr2`` are adam-only. ``vel`` may be None
-    when momentum == 0. State may be stored narrow (opt_state_dtype); math
-    runs in f32 and the UNROUNDED values update the table — exactly like the
-    XLA path (train/optimizers.py).
+    For adam/adadelta, ``acc`` is the MERGED state buffer holding
+    [acc | upd] (adadelta, (n, 2d)) or [acc | meang | count-column block]
+    (adam, (n, 2d + 128)) side by side (train/optimizers.py init_state):
+    one block DMA pair serves every slot — the v3 manual-DMA pipeline is
+    issue-bound on the scalar core (~40ns per DMA), so merging halves the
+    state stream's issue cost where bytes are nearly free. Adam's per-row
+    step count (column 2d) is incremented in-kernel for member rows and
+    feeds the bias corrections; nothing count-related happens outside.
+    ``vel`` may be None when momentum == 0. State may be stored narrow
+    (opt_state_dtype); math runs in f32 and the UNROUNDED values update the
+    table — exactly like the XLA path (train/optimizers.py).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -183,7 +202,10 @@ def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
     K = gblk.shape[0]
     has_momentum = momentum > 0
     is_adam = adapt == "adam"
-    has_extra = adapt in ("adam", "adadelta")
+    merged = adapt in ("adam", "adadelta")
+    ds = acc.shape[1]
+    assert ds == (2 * d + 128 if is_adam else 2 * d if merged else d), (
+        adapt, acc.shape, table.shape)
     # zero gradient is an exact no-op only for adagrad's monotone sum; EMA
     # state, momentum, and L2 all move under zero g and need the member mask
     needs_mask = has_momentum or lmbd > 0 or adapt != "adagrad"
@@ -202,17 +224,12 @@ def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
         return (j, 0)
 
     acc_dtype, vel_dtype = acc.dtype, vel.dtype
-    extra_dtype = extra.dtype if has_extra else None
+
+    ln_v1 = float(np.log(v1)) if is_adam and v1 > 0 else 0.0
+    ln_v2 = float(np.log(v2)) if is_adam and v2 > 0 else 0.0
 
     def kernel(gblk_ref, mask_ref, *refs):
-        if is_adam:
-            (t_ref, a_ref, m_ref, v_ref, g_ref, c1_ref, c2_ref,
-             to_ref, ao_ref, mo_ref, vo_ref) = refs
-        elif has_extra:  # adadelta
-            (t_ref, a_ref, m_ref, v_ref, g_ref,
-             to_ref, ao_ref, mo_ref, vo_ref) = refs
-        else:
-            t_ref, a_ref, v_ref, g_ref, to_ref, ao_ref, vo_ref = refs
+        t_ref, a_ref, v_ref, g_ref, to_ref, ao_ref, vo_ref = refs
         g = g_ref[...]
         if needs_mask:
             j = pl.program_id(0)
@@ -232,24 +249,34 @@ def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
             gs = g / jnp.sqrt(acc_new + EPSILON)
             ao_ref[...] = acc_new.astype(acc_dtype)
         elif adapt == "adadelta":
-            a_old = a_ref[...].astype(jnp.float32)
-            u_old = m_ref[...].astype(jnp.float32)
+            am = a_ref[...].astype(jnp.float32)
+            a_old, u_old = am[:, :d], am[:, d:]
             acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g, a_old)
             scal = (u_old + EPSILON) / (acc_new + EPSILON)
             u_new = jnp.where(member,
                               v1 * u_old + (1.0 - v1) * scal * g * g, u_old)
             gs = g * jnp.sqrt(scal)
-            ao_ref[...] = acc_new.astype(acc_dtype)
-            mo_ref[...] = u_new.astype(extra_dtype)
-        else:  # adam
-            a_old = a_ref[...].astype(jnp.float32)
-            m_old = m_ref[...].astype(jnp.float32)
+            ao_ref[...] = jnp.concatenate([acc_new, u_new],
+                                          axis=1).astype(acc_dtype)
+        else:  # adam: [acc | meang | count-column block]
+            am = a_ref[...].astype(jnp.float32)
+            a_old, m_old = am[:, :d], am[:, d:2 * d]
+            cntb = am[:, 2 * d:]
             acc_new = jnp.where(member, v2 * a_old + (1.0 - v2) * g * g, a_old)
             m_new = jnp.where(member, v1 * m_old + (1.0 - v1) * g, m_old)
-            gs = (m_new / c1_ref[...]) / (jnp.sqrt(acc_new / c2_ref[...])
-                                          + EPSILON)
-            ao_ref[...] = acc_new.astype(acc_dtype)
-            mo_ref[...] = m_new.astype(extra_dtype)
+            # the per-row step count rides the state block: increment member
+            # rows, derive bias corrections in-register (non-members keep
+            # corr = 1, an inf/NaN-free dummy — their lanes are masked)
+            cnt_new = jnp.where(member, cntb[:, :1] + 1.0, cntb[:, :1])
+            c1 = jnp.where(member, _neg_expm1(cnt_new * ln_v1), 1.0)
+            c2 = jnp.where(member, _neg_expm1(cnt_new * ln_v2), 1.0)
+            gs = (m_new / c1) / (jnp.sqrt(acc_new / c2) + EPSILON)
+            # the count fills ALL 128 lanes of its block: a broadcast is
+            # aligned-only VPU work, while a 127-lane passthrough concat at
+            # offset 1 pays cross-tile lane shifts
+            cntb_new = jnp.broadcast_to(cnt_new, (8, 128))
+            ao_ref[...] = jnp.concatenate([acc_new, m_new, cntb_new],
+                                          axis=1).astype(acc_dtype)
         if lmbd > 0:
             delta = lr * (gs + lmbd * t_ref[...])
         else:
@@ -269,37 +296,26 @@ def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
                 to_ref[...] = t_ref[...] - delta
 
     in_specs = [
-        pl.BlockSpec((8, d), blk_map),   # table
-        pl.BlockSpec((8, d), blk_map),   # acc
+        pl.BlockSpec((8, d), blk_map),    # table
+        pl.BlockSpec((8, ds), blk_map),   # state (merged for adam/adadelta)
     ]
     inputs = [table, acc]
     out_specs = [
         pl.BlockSpec((8, d), blk_map),
-        pl.BlockSpec((8, d), blk_map),
+        pl.BlockSpec((8, ds), blk_map),
     ]
     out_shape = [
         jax.ShapeDtypeStruct(table.shape, table.dtype),
         jax.ShapeDtypeStruct(acc.shape, acc.dtype),
     ]
     aliases = {2: 0, 3: 1}  # inputs 2.. are offset by the 2 scalar-prefetch args
-    if has_extra:
-        in_specs.append(pl.BlockSpec((8, d), blk_map))
-        inputs.append(extra)
-        out_specs.append(pl.BlockSpec((8, d), blk_map))
-        out_shape.append(jax.ShapeDtypeStruct(extra.shape, extra.dtype))
-        aliases[4] = 2
-    vel_pos = len(inputs) + 2
     in_specs.append(pl.BlockSpec((8, d), vel_map))
     inputs.append(vel)
     out_specs.append(pl.BlockSpec((8, d), vel_map))
     out_shape.append(jax.ShapeDtypeStruct(vel.shape, vel.dtype))
-    aliases[vel_pos] = len(out_shape) - 1
+    aliases[4] = 2
     in_specs.append(pl.BlockSpec((8, d), g_map))
     inputs.append(gpad)
-    if is_adam:
-        for c in (corr1, corr2):
-            in_specs.append(pl.BlockSpec((8, 1), g_map))
-            inputs.append(c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(K,), in_specs=in_specs,
@@ -309,17 +325,13 @@ def _fused_update(adapt, table, acc, extra, vel, gblk, mask, gpad, corr1,
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases=aliases, interpret=interpret,
     )(gblk, mask, *inputs)
-    if has_extra:
-        t_out, a_out, m_out, v_out = outs
-    else:
-        t_out, a_out, v_out = outs
-        m_out = None
+    t_out, a_out, v_out = outs
     v_out = v_out if has_momentum else None
-    return t_out, a_out, m_out, v_out
+    return t_out, a_out, v_out
 
 
-def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
-                     corr1, corr2, *, lr, momentum, lmbd, v1, v2, interpret):
+def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
+                     *, lr, momentum, lmbd, v1, v2, interpret):
     """v3: manual-DMA software pipeline over ONLY the real groups.
 
     The v2 grid pays ~0.35-0.45 us of fixed cost for every one of its K
@@ -336,6 +348,18 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
     same member-masking semantics as :func:`_fused_update`; in/out VMEM
     buffers are separate per stream so an in-flight out-DMA never races the
     next refill.
+
+    For adam/adadelta, ``acc`` is the MERGED state buffer ([acc | meang |
+    count-column block] (n, 2d + 128) for adam, [acc | upd] (n, 2d) for
+    adadelta — train/optimizers.py init_state): the v3 pipeline is
+    DMA-ISSUE-bound on the scalar core (~40 ns per issue; measured:
+    adagrad's +20 KB/group over rmsprop costs only ~13 ns), so one wide
+    state DMA pair beats two (8, d) pairs by ~80 ns/group. Adam's per-row
+    step count (column 2d of the merged buffer) is incremented in-kernel
+    for member rows and feeds the bias corrections computed in-register
+    (1 - v^c as -expm1(c ln v), see _neg_expm1) — no count bookkeeping
+    exists outside the kernel at all (the earlier compact-1-D-ops variant
+    cost 78 us/step of XLA gather/scatter at the Rees46 shape).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -345,29 +369,27 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
     D = V3_DEPTH
     has_momentum = momentum > 0
     is_adam = adapt == "adam"
-    has_extra = adapt in ("adam", "adadelta")
+    merged = adapt in ("adam", "adadelta")
+    ds = acc.shape[1]
+    assert ds == (2 * d + 128 if is_adam else 2 * d if merged else d), (
+        adapt, acc.shape, table.shape)
     needs_mask = has_momentum or lmbd > 0 or adapt != "adagrad"
     acc_dtype = acc.dtype
-    extra_dtype = extra.dtype if has_extra else None
     vel_dtype = vel.dtype if has_momentum else None
+    ln_v1 = float(np.log(v1)) if is_adam and v1 > 0 else 0.0
+    ln_v2 = float(np.log(v2)) if is_adam and v2 > 0 else 0.0
 
     def kernel(gblk_ref, mask_ref, nreal_ref, *refs):
         refs = list(refs)
         t_hbm = refs.pop(0)
         a_hbm = refs.pop(0)
-        x_hbm = refs.pop(0) if has_extra else None
         v_hbm = refs.pop(0) if has_momentum else None
         g_hbm = refs.pop(0)
-        c1_ref = refs.pop(0) if is_adam else None
-        c2_ref = refs.pop(0) if is_adam else None
         to_hbm = refs.pop(0)
         ao_hbm = refs.pop(0)
-        xo_hbm = refs.pop(0) if has_extra else None
         vo_hbm = refs.pop(0) if has_momentum else None
         (tin, tout, ain, aout) = refs[:4]
         refs = refs[4:]
-        xin = refs.pop(0) if has_extra else None
-        xout = refs.pop(0) if has_extra else None
         vin = refs.pop(0) if has_momentum else None
         vout = refs.pop(0) if has_momentum else None
         gin = refs.pop(0)
@@ -378,6 +400,9 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
         def in_copies(j, slot):
             blk = gblk_ref[j]
             rows = pl.ds(blk * 8, 8)
+            # ONE state DMA even for the wide merged buffers: splitting it in
+            # half was measured SLOWER (903 vs 829 us/step at Rees46 adam) —
+            # the pipeline is issue-bound, not wide-DMA-penalized
             cp = [
                 pltpu.make_async_copy(t_hbm.at[rows, :], tin.at[slot],
                                       in_sems.at[slot, 0]),
@@ -386,10 +411,6 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
                 pltpu.make_async_copy(g_hbm.at[pl.ds(j * 8, 8), :],
                                       gin.at[slot], in_sems.at[slot, 4]),
             ]
-            if has_extra:
-                cp.append(pltpu.make_async_copy(x_hbm.at[rows, :],
-                                                xin.at[slot],
-                                                in_sems.at[slot, 2]))
             if has_momentum:
                 cp.append(pltpu.make_async_copy(v_hbm.at[rows, :],
                                                 vin.at[slot],
@@ -405,10 +426,6 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
                 pltpu.make_async_copy(aout.at[slot], ao_hbm.at[rows, :],
                                       out_sems.at[slot, 1]),
             ]
-            if has_extra:
-                cp.append(pltpu.make_async_copy(xout.at[slot],
-                                                xo_hbm.at[rows, :],
-                                                out_sems.at[slot, 2]))
             if has_momentum:
                 cp.append(pltpu.make_async_copy(vout.at[slot],
                                                 vo_hbm.at[rows, :],
@@ -452,27 +469,35 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
                 gs = g / jnp.sqrt(acc_new + EPSILON)
                 aout[slot] = acc_new.astype(acc_dtype)
             elif adapt == "adadelta":
-                a_old = ain[slot].astype(jnp.float32)
-                u_old = xin[slot].astype(jnp.float32)
+                am = ain[slot].astype(jnp.float32)
+                a_old, u_old = am[:, :d], am[:, d:]
                 acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g,
                                     a_old)
                 scal = (u_old + EPSILON) / (acc_new + EPSILON)
                 u_new = jnp.where(
                     member, v1 * u_old + (1.0 - v1) * scal * g * g, u_old)
                 gs = g * jnp.sqrt(scal)
-                aout[slot] = acc_new.astype(acc_dtype)
-                xout[slot] = u_new.astype(extra_dtype)
-            else:  # adam
-                a_old = ain[slot].astype(jnp.float32)
-                m_old = xin[slot].astype(jnp.float32)
+                aout[slot] = jnp.concatenate([acc_new, u_new],
+                                             axis=1).astype(acc_dtype)
+            else:  # adam: [acc | meang | count-column block]
+                am = ain[slot].astype(jnp.float32)
+                a_old, m_old = am[:, :d], am[:, d:2 * d]
+                cntb = am[:, 2 * d:]
                 acc_new = jnp.where(member, v2 * a_old + (1.0 - v2) * g * g,
                                     a_old)
                 m_new = jnp.where(member, v1 * m_old + (1.0 - v1) * g, m_old)
-                c1 = c1_ref[pl.ds(j * 8, 8), :]
-                c2 = c2_ref[pl.ds(j * 8, 8), :]
+                # the per-row step count rides the state block: increment
+                # member rows, derive the bias corrections in-register
+                # (non-member lanes keep corr = 1, an inf/NaN-free dummy)
+                cnt_new = jnp.where(member, cntb[:, :1] + 1.0, cntb[:, :1])
+                c1 = jnp.where(member, _neg_expm1(cnt_new * ln_v1), 1.0)
+                c2 = jnp.where(member, _neg_expm1(cnt_new * ln_v2), 1.0)
                 gs = (m_new / c1) / (jnp.sqrt(acc_new / c2) + EPSILON)
-                aout[slot] = acc_new.astype(acc_dtype)
-                xout[slot] = m_new.astype(extra_dtype)
+                # count fills ALL 128 lanes (aligned broadcast, no
+                # cross-tile lane shifts -- see the v2 kernel note)
+                cntb_new = jnp.broadcast_to(cnt_new, (8, 128))
+                aout[slot] = jnp.concatenate([acc_new, m_new, cntb_new],
+                                             axis=1).astype(acc_dtype)
             if lmbd > 0:
                 delta = lr * (gs + lmbd * t_old)
             else:
@@ -511,46 +536,29 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
         jax.lax.fori_loop(0, D, epi, 0, unroll=True)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     inputs = [table, acc]
     in_specs = [any_spec, any_spec]
-    if has_extra:
-        inputs.append(extra)
-        in_specs.append(any_spec)
     if has_momentum:
         inputs.append(vel)
         in_specs.append(any_spec)
     inputs.append(gpad)
     in_specs.append(any_spec)
-    if is_adam:
-        inputs += [corr1, corr2]
-        in_specs += [vmem_full, vmem_full]
     out_shape = [jax.ShapeDtypeStruct(table.shape, table.dtype),
                  jax.ShapeDtypeStruct(acc.shape, acc.dtype)]
     out_specs = [any_spec, any_spec]
-    # aliases: +3 for the scalar-prefetch args (gblk, mask, nreal)
+    # aliases offset by the 3 scalar-prefetch args (gblk, mask, nreal)
     aliases = {3: 0, 4: 1}
-    pos = 5
-    out_i = 2
-    if has_extra:
-        out_shape.append(jax.ShapeDtypeStruct(extra.shape, extra.dtype))
-        out_specs.append(any_spec)
-        aliases[pos] = out_i
-        pos += 1
-        out_i += 1
     if has_momentum:
         out_shape.append(jax.ShapeDtypeStruct(vel.shape, vel.dtype))
         out_specs.append(any_spec)
-        aliases[pos] = out_i
+        aliases[5] = 2
 
     scratch = [
-        pltpu.VMEM((D, 8, d), table.dtype),  # tin
-        pltpu.VMEM((D, 8, d), table.dtype),  # tout
-        pltpu.VMEM((D, 8, d), acc.dtype),    # ain
-        pltpu.VMEM((D, 8, d), acc.dtype),    # aout
+        pltpu.VMEM((D, 8, d), table.dtype),   # tin
+        pltpu.VMEM((D, 8, d), table.dtype),   # tout
+        pltpu.VMEM((D, 8, ds), acc.dtype),    # ain (merged state for adam/adadelta)
+        pltpu.VMEM((D, 8, ds), acc.dtype),    # aout
     ]
-    if has_extra:
-        scratch += [pltpu.VMEM((D, 8, d), extra.dtype)] * 2
     if has_momentum:
         scratch += [pltpu.VMEM((D, 8, d), vel.dtype)] * 2
     scratch.append(pltpu.VMEM((D, 8, d), gpad.dtype))
@@ -568,18 +576,21 @@ def _fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
     outs = list(outs)
     t_out = outs.pop(0)
     a_out = outs.pop(0)
-    x_out = outs.pop(0) if has_extra else None
     v_out = outs.pop(0) if has_momentum else None
-    return t_out, a_out, x_out, v_out
+    return t_out, a_out, v_out
 
 
 @partial(jax.jit, static_argnames=("adapt", "lr", "momentum", "lmbd", "v1",
                                    "v2", "interpret"))
-def fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
-                    corr1, corr2, *, lr: float, momentum: float, lmbd: float,
+def fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
+                    *, lr: float, momentum: float, lmbd: float,
                     v1: float, v2: float, interpret: bool = False):
+    """``acc`` is the single state buffer: (n, d) for adagrad/rmsprop,
+    merged (n, 2d) [acc | upd] for adadelta, (n, 2d + 128)
+    [acc | meang | count-column] for adam. Returns
+    (table, state, velocity-or-None)."""
     return _fused_update_v3(
-        adapt, table, acc, extra, vel, gblk, mask, nreal, gpad, corr1, corr2,
+        adapt, table, acc, vel, gblk, mask, nreal, gpad,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
         interpret=interpret,
     )
@@ -588,33 +599,32 @@ def fused_update_v3(adapt, table, acc, extra, vel, gblk, mask, nreal, gpad,
 @partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "interpret"))
 def fused_adagrad_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
                          momentum: float, lmbd: float, interpret: bool = False):
-    t, a, _, v = _fused_update(
-        "adagrad", table, acc, None, vel, gblk, mask, gpad, None, None,
+    return _fused_update(
+        "adagrad", table, acc, vel, gblk, mask, gpad,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=0.0, v2=0.0,
         interpret=interpret,
     )
-    return t, a, v
 
 
 @partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "v1", "interpret"))
 def fused_rmsprop_update(table, acc, vel, gblk, mask, gpad, *, lr: float,
                          momentum: float, lmbd: float, v1: float,
                          interpret: bool = False):
-    t, a, _, v = _fused_update(
-        "rmsprop", table, acc, None, vel, gblk, mask, gpad, None, None,
+    return _fused_update(
+        "rmsprop", table, acc, vel, gblk, mask, gpad,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=0.0,
         interpret=interpret,
     )
-    return t, a, v
 
 
 @partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "v1",
                                    "interpret"))
-def fused_adadelta_update(table, acc, upd, vel, gblk, mask, gpad, *, lr: float,
+def fused_adadelta_update(table, acc2, vel, gblk, mask, gpad, *, lr: float,
                           momentum: float, lmbd: float, v1: float,
                           interpret: bool = False):
+    """``acc2`` is the merged (n, 2d) [acc | upd] state buffer."""
     return _fused_update(
-        "adadelta", table, acc, upd, vel, gblk, mask, gpad, None, None,
+        "adadelta", table, acc2, vel, gblk, mask, gpad,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=0.0,
         interpret=interpret,
     )
@@ -622,11 +632,13 @@ def fused_adadelta_update(table, acc, upd, vel, gblk, mask, gpad, *, lr: float,
 
 @partial(jax.jit, static_argnames=("lr", "momentum", "lmbd", "v1", "v2",
                                    "interpret"))
-def fused_adam_update(table, acc, meang, vel, gblk, mask, gpad, corr1, corr2,
+def fused_adam_update(table, acc2, vel, gblk, mask, gpad,
                       *, lr: float, momentum: float, lmbd: float, v1: float,
                       v2: float, interpret: bool = False):
+    """``acc2`` is the merged (n, 2d + 128) [acc | meang | count-column]
+    state buffer."""
     return _fused_update(
-        "adam", table, acc, meang, vel, gblk, mask, gpad, corr1, corr2,
+        "adam", table, acc2, vel, gblk, mask, gpad,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
         interpret=interpret,
     )

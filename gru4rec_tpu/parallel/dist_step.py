@@ -199,8 +199,11 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
             if n_sample > 0:
                 col_valid = jnp.concatenate([valid_all, jnp.ones((n_sample,), bool)])
                 Y = jnp.concatenate([jnp.where(valid_all, out_all, 0), neg_t])
+                # fully-padded steps must be complete no-ops (see
+                # train/step.py): gate the negatives' scatter on any_valid
                 Y_scatter = jnp.concatenate(
-                    [jnp.where(valid_all, out_all, SENTINEL), neg_t]
+                    [jnp.where(valid_all, out_all, SENTINEL),
+                     jnp.where(any_valid, neg_t, SENTINEL)]
                 ).astype(jnp.int32)
             else:
                 col_valid = valid_all

@@ -37,6 +37,15 @@ _FORCE_PALLAS = None  # test hook: None = auto, True/False = override
 _FORCE_PALLAS_VERSION = None  # test hook: None = auto, "v2"/"v3" = pin
 
 
+def _ln(v: float) -> float:
+    """log of a decay constant for the expm1 bias-correction form; v=0
+    (degenerate adapt_params) maps to -inf, for which -expm1(t*-inf) = 1 =
+    the correct 1 - 0^t."""
+    import math
+
+    return math.log(v) if v > 0 else -math.inf
+
+
 def dedup_rows(idx, g):
     """Sum gradients of duplicate row indices; static output shapes.
 
@@ -125,23 +134,52 @@ class Optimizer:
         # velocity) is a contraction where nearest-rounding is noise — but
         # ONLY while the decay is fast enough that per-step changes survive
         # the rounding; _ema_dtype gates each slot on its decay constant.
+        # Two-slot optimizers (adam: acc+meang, adadelta: acc+upd) store their
+        # SPARSE state MERGED side-by-side in one buffer ("acc2"): the fused
+        # v3 kernel is DMA-issue-bound on the scalar core (~40ns/issue;
+        # bytes are nearly free there), so one wide state DMA pair replaces
+        # two (8, d) pairs, ~-80ns per touched row group.
+        #
+        # * adadelta: (n, 2d), columns [0:d] = acc, [d:2d] = upd.
+        # * adam: (n, 2d + 128), columns [0:d] = acc, [d:2d] = meang, and
+        #   [2d] = the per-row STEP COUNT for bias correction (the rest of
+        #   the 128-lane block is padding). Folding the count into the state
+        #   rows removes all per-step 1-D count bookkeeping (a compact
+        #   gather + 2 scatters, measured 78 us/step at the Rees46 shape) —
+        #   the count and its corrections ride the state DMA/gather that
+        #   happens anyway.
+        #
+        # The merged buffer shares one dtype: adam's second moment requires
+        # f32 (v2=0.999 freezes in bf16, _ema_dtype), which costs the bf16
+        # meang storage the split layout had — measured a net win on the
+        # kernel path and a small loss on the XLA path (where adaptive state
+        # is promoted and cheap).
         def zeros(dtype):
             return jnp.zeros(param.shape, dtype=dtype)
 
         def ema(decay):
             return self._ema_dtype(decay, param) if sparse else param.dtype
 
+        two_slot = self.adapt in ("adam", "adadelta")
+        merged = sparse and two_slot and param.ndim == 2
         st: Dict = {}
         if self.adapt == "adagrad":
             st["acc"] = zeros(param.dtype)
-        elif self.adapt in ("rmsprop", "adadelta"):
+        elif self.adapt == "rmsprop":
             st["acc"] = zeros(ema(self.v1))
+        elif merged and self.adapt == "adadelta":
+            st["acc2"] = jnp.zeros((param.shape[0], 2 * param.shape[1]),
+                                   dtype=ema(self.v1))
+        elif merged:  # adam: [acc | meang | count-column block]
+            st["acc2"] = jnp.zeros((param.shape[0], 2 * param.shape[1] + 128),
+                                   dtype=ema(max(self.v1, self.v2)))
+        elif self.adapt == "adadelta":
+            st["acc"] = zeros(ema(self.v1))
+            st["upd"] = zeros(ema(self.v1))
         elif self.adapt == "adam":
             st["acc"] = zeros(ema(self.v2))
-        if self.adapt == "adadelta":
-            st["upd"] = zeros(ema(self.v1))
-        if self.adapt == "adam":
             st["meang"] = zeros(ema(self.v1))
+        if self.adapt == "adam" and not merged:
             st["count"] = (
                 jnp.zeros((param.shape[0],), dtype=jnp.float32)
                 if param.ndim >= 1
@@ -173,8 +211,10 @@ class Optimizer:
             meang = self.v1 * st["meang"] + (1.0 - self.v1) * g
             count = st["count"] + 1.0
             t = count if count.ndim == 0 else count[0]
-            mhat = meang / (1.0 - self.v1**t)
-            vhat = acc / (1.0 - self.v2**t)
+            # 1 - v^t as -expm1(t ln v): the naive form cancels
+            # catastrophically when v^t ~ 1 (v2=0.999, small t)
+            mhat = meang / -jnp.expm1(t * _ln(self.v1))
+            vhat = acc / -jnp.expm1(t * _ln(self.v2))
             st = {**st, "acc": acc, "meang": meang, "count": count}
             return mhat / (jnp.sqrt(vhat) + EPSILON), st
         return g, st  # plain SGD
@@ -191,6 +231,17 @@ class Optimizer:
             st = {**st, "acc": _put_rows(st["acc"], uidx, rows)}
             return g / jnp.sqrt(rows + EPSILON), st
         if a == "adadelta":
+            if "acc2" in st:  # merged [acc | upd] layout (see init_state)
+                d = g.shape[1]
+                au = _take_rows(st["acc2"], uidx)
+                acc_old, upd_rows_old = au[:, :d], au[:, d:]
+                acc_rows = self.v1 * acc_old + (1.0 - self.v1) * g**2
+                scaling = (upd_rows_old + EPSILON) / (acc_rows + EPSILON)
+                upd_rows = (self.v1 * upd_rows_old
+                            + (1.0 - self.v1) * scaling * g**2)
+                merged_rows = jnp.concatenate([acc_rows, upd_rows], axis=1)
+                st = {**st, "acc2": _put_rows(st["acc2"], uidx, merged_rows)}
+                return g * jnp.sqrt(scaling), st
             acc_rows = self.v1 * _take_rows(st["acc"], uidx) + (1.0 - self.v1) * g**2
             upd_rows_old = _take_rows(st["upd"], uidx)
             scaling = (upd_rows_old + EPSILON) / (acc_rows + EPSILON)
@@ -202,11 +253,29 @@ class Optimizer:
             }
             return g * jnp.sqrt(scaling), st
         if a == "adam":
+            if "acc2" in st:  # merged [acc | meang | count-column] layout
+                d = g.shape[1]
+                W = st["acc2"].shape[1]
+                am = _take_rows(st["acc2"], uidx)
+                acc_rows = self.v2 * am[:, :d] + (1.0 - self.v2) * g**2
+                meang_rows = self.v1 * am[:, d:2 * d] + (1.0 - self.v1) * g
+                cnt = am[:, 2 * d] + 1.0
+                corr1 = -jnp.expm1(cnt * _ln(self.v1))[:, None]
+                corr2 = -jnp.expm1(cnt * _ln(self.v2))[:, None]
+                # the count fills ALL 128 lanes of its block (see the
+                # kernel: aligned broadcast instead of lane-shifting concat)
+                new_am = jnp.concatenate(
+                    [acc_rows, meang_rows,
+                     jnp.broadcast_to(cnt[:, None], (cnt.shape[0], W - 2 * d))],
+                    axis=1)
+                st = {**st, "acc2": _put_rows(st["acc2"], uidx, new_am)}
+                return (meang_rows / corr1) / (jnp.sqrt(acc_rows / corr2)
+                                               + EPSILON), st
             acc_rows = self.v2 * _take_rows(st["acc"], uidx) + (1.0 - self.v2) * g**2
             meang_rows = self.v1 * _take_rows(st["meang"], uidx) + (1.0 - self.v1) * g
             cnt = _take_rows(st["count"], uidx) + 1.0
-            corr1 = 1.0 - self.v1**cnt
-            corr2 = 1.0 - self.v2**cnt
+            corr1 = -jnp.expm1(cnt * _ln(self.v1))
+            corr2 = -jnp.expm1(cnt * _ln(self.v2))
             if g.ndim > 1:
                 corr1 = corr1[:, None]
                 corr2 = corr2[:, None]
@@ -243,6 +312,11 @@ class Optimizer:
         # a mismatch means an exotic hand-built state — take the XLA path.
         # Narrow (bf16) EMA state and velocity are handled natively.
         if self.adapt == "adagrad" and st["acc"].dtype != table.dtype:
+            return None
+        # the kernels consume adam/adadelta state in the merged (n, 2d)
+        # layout; a split-layout state (hand-built, or a non-2D param) takes
+        # the XLA path
+        if self.adapt in ("adam", "adadelta") and "acc2" not in st:
             return None
         width_ok = table.shape[1] % 128 == 0
         if _FORCE_PALLAS is not None:
@@ -281,79 +355,48 @@ class Optimizer:
 
             interpret = jax.default_backend() != "tpu"
             # group_pack folds the duplicate-index summing into its packing
-            # scatter, so the kernel path skips dedup_rows entirely
-            corr1 = corr2 = None
-            if self.adapt == "adam":
-                gblk, mask, gpad, crows, cslots, nreal = group_pack(
-                    idx, g, table.shape[0], return_slot_rows=True,
-                    return_nreal=True)
-                # per-row step counts + bias corrections live OUTSIDE the
-                # kernel as COMPACT K-length 1-D ops (slot-space 8K-length
-                # indexing cost 232 us/step at the Rees46 shape); the kernel
-                # consumes per-slot correction columns scattered from them.
-                # Non-member slots keep corr=1 — their inf/NaN-free dummy
-                # value; the kernel masks those lanes anyway.
-                K = idx.shape[0]
-                cnt = st["count"].at[crows].get(
-                    mode="fill", fill_value=0.0, indices_are_sorted=True,
-                    unique_indices=True,
-                ).astype(jnp.float32) + 1.0
-                count_new = st["count"].at[crows].set(
-                    cnt.astype(st["count"].dtype), mode="drop",
-                    indices_are_sorted=True, unique_indices=True,
-                )
-                corr1 = jnp.ones((8 * K, 1), jnp.float32).at[cslots, 0].set(
-                    1.0 - self.v1 ** cnt, mode="drop",
-                    indices_are_sorted=True, unique_indices=True)
-                corr2 = jnp.ones((8 * K, 1), jnp.float32).at[cslots, 0].set(
-                    1.0 - self.v2 ** cnt, mode="drop",
-                    indices_are_sorted=True, unique_indices=True)
-            else:
-                gblk, mask, gpad, nreal = group_pack(
-                    idx, g, table.shape[0], return_nreal=True)
-            extra_name = {"adam": "meang", "adadelta": "upd"}.get(self.adapt)
+            # scatter, so the kernel path skips dedup_rows entirely. Adam
+            # needs NO extra bookkeeping: its per-row step count lives as a
+            # column of the merged state buffer (init_state) and is updated
+            # in-kernel.
+            gblk, mask, gpad, nreal = group_pack(
+                idx, g, table.shape[0], return_nreal=True)
+            # the single state operand: "acc" for adagrad/rmsprop, the merged
+            # "acc2" for adam/adadelta (_kernel_version guarantees it)
+            state_key = "acc2" if self.adapt in ("adam", "adadelta") else "acc"
             if version == "v3":
-                table, acc, extra, vel = fused_update_v3(
-                    self.adapt, table, st["acc"],
-                    st[extra_name] if extra_name else None,
-                    st.get("velocity"), gblk, mask, nreal, gpad, corr1, corr2,
+                table, state, vel = fused_update_v3(
+                    self.adapt, table, st[state_key], st.get("velocity"),
+                    gblk, mask, nreal, gpad,
                     lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
                     v1=self.v1, v2=self.v2, interpret=interpret,
                 )
-                st = {**st, "acc": acc}
-                if extra_name:
-                    st[extra_name] = extra
             elif self.adapt == "adam":
-                table, acc, meang, vel = fused_adam_update(
-                    table, st["acc"], st["meang"], st.get("velocity"),
-                    gblk, mask, gpad, corr1, corr2,
+                table, state, vel = fused_adam_update(
+                    table, st["acc2"], st.get("velocity"),
+                    gblk, mask, gpad,
                     lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
                     v1=self.v1, v2=self.v2, interpret=interpret,
                 )
-                st = {**st, "acc": acc, "meang": meang}
             elif self.adapt == "adadelta":
-                table, acc, upd, vel = fused_adadelta_update(
-                    table, st["acc"], st["upd"], st.get("velocity"), gblk,
+                table, state, vel = fused_adadelta_update(
+                    table, st["acc2"], st.get("velocity"), gblk,
                     mask, gpad, lr=self.lr, momentum=self.momentum,
                     lmbd=self.lmbd, v1=self.v1, interpret=interpret,
                 )
-                st = {**st, "acc": acc, "upd": upd}
             elif self.adapt == "adagrad":
-                table, acc, vel = fused_adagrad_update(
+                table, state, vel = fused_adagrad_update(
                     table, st["acc"], st.get("velocity"), gblk, mask,
                     gpad, lr=self.lr, momentum=self.momentum,
                     lmbd=self.lmbd, interpret=interpret,
                 )
-                st = {**st, "acc": acc}
             else:
-                table, acc, vel = fused_rmsprop_update(
+                table, state, vel = fused_rmsprop_update(
                     table, st["acc"], st.get("velocity"), gblk, mask,
                     gpad, lr=self.lr, momentum=self.momentum,
                     lmbd=self.lmbd, v1=self.v1, interpret=interpret,
                 )
-                st = {**st, "acc": acc}
-            if self.adapt == "adam":
-                st["count"] = count_new
+            st = {**st, state_key: state}
             if vel is not None:
                 st["velocity"] = vel
             return table, st

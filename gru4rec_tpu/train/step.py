@@ -145,8 +145,14 @@ def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
             if n_sample > 0:
                 col_valid = jnp.concatenate([valid, jnp.ones((n_sample,), bool)])
                 Y = jnp.concatenate([jnp.where(valid, out_idx, 0), neg_t])
+                # fully-padded steps (a chunk's zero-padded tail) must be
+                # complete no-ops: without the any_valid gate the negatives'
+                # zero-gradient scatter would still decay EMA optimizer state
+                # and bump adam row counts — an artifact no real step of the
+                # reference loop has
                 Y_scatter = jnp.concatenate(
-                    [jnp.where(valid, out_idx, SENTINEL), neg_t]
+                    [jnp.where(valid, out_idx, SENTINEL),
+                     jnp.where(any_valid, neg_t, SENTINEL)]
                 ).astype(jnp.int32)
             else:
                 col_valid = valid

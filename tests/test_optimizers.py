@@ -94,14 +94,22 @@ def test_sparse_state_dtype_gated_on_decay():
     cfg = GRU4RecConfig(adapt="adam", momentum=0.5, opt_state_dtype="bfloat16")
     opt = make_optimizer(cfg)
     st = opt.init_state(jnp.zeros((8, 4), jnp.float32), sparse=True)
-    assert st["acc"].dtype == jnp.float32      # v2 = 0.999: too slow for bf16
-    assert st["meang"].dtype == jnp.bfloat16   # v1 = 0.9: safe
+    # adam's sparse state is the merged (n, 2d + 128) [acc | meang | count]
+    # buffer; the shared dtype is gated on the SLOWEST decay (v2 = 0.999)
+    assert st["acc2"].dtype == jnp.float32
+    assert st["acc2"].shape == (8, 2 * 4 + 128)
     assert st["velocity"].dtype == jnp.bfloat16
 
     # a fast second moment (v2 = 0.95) may be stored narrow again
     cfg = GRU4RecConfig(adapt="adam", adapt_params=[0.9, 0.95])
     st = make_optimizer(cfg).init_state(jnp.zeros((8, 4), jnp.float32), sparse=True)
-    assert st["acc"].dtype == jnp.bfloat16
+    assert st["acc2"].dtype == jnp.bfloat16
+
+    # dense state keeps the split layout and always stays in the param dtype
+    st = make_optimizer(GRU4RecConfig(adapt="adam")).init_state(
+        jnp.zeros((8, 4), jnp.float32), sparse=False)
+    assert st["acc"].dtype == jnp.float32
+    assert st["meang"].dtype == jnp.float32
 
     # rmsprop/adadelta at a user-set slow decay also stay wide
     cfg = GRU4RecConfig(adapt="rmsprop", adapt_params=[0.999])
@@ -122,7 +130,7 @@ def test_adam_second_moment_does_not_freeze():
     for _ in range(500):
         table, st = opt.apply_sparse(table, idx, g, st)
     want = 1.0 - cfg.adapt_params[1] ** 500  # ~0.3936
-    got = np.asarray(st["acc"], np.float32)[1, 0]
+    got = np.asarray(st["acc2"], np.float32)[1, 0]  # acc = first d columns
     np.testing.assert_allclose(got, want, rtol=0.02)
 
 
