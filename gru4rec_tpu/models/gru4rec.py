@@ -41,6 +41,42 @@ def _chunk_schedule(sched, chunk_size):
     return chunks
 
 
+def _stack_chunks(chunks):
+    """Stack the per-chunk schedule blocks into four (n_chunks, C, B) arrays.
+
+    The whole epoch schedule then crosses host->device as FOUR transfers
+    instead of four per chunk. Each transfer to a tunneled device pays a
+    fixed round-trip (and, cold, a ~0.3-0.5 s remote compile of the implicit
+    convert/broadcast program), so the old per-chunk upload dominated
+    epoch 1 — 183 chunks x 4 arrays ≈ 330 s at the flagship shape
+    (PERF_NOTES "Cold-start anatomy")."""
+    stacks = tuple(
+        np.stack([c[i] for c in chunks]) for i in range(4)
+    )
+    ends = [c[4] for c in chunks]
+    return stacks, ends
+
+
+def _upload_stacks(stacks, mesh):
+    if mesh is None:
+        return tuple(jnp.asarray(s) for s in stacks)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # lanes (B, last dim) ride the data axis, matching the dist chunk_fn's
+    # P(None, "data") schedule specs so the per-chunk slices need no reshard
+    shard = NamedSharding(mesh, PartitionSpec(None, None, "data"))
+    return tuple(jax.device_put(s, shard) for s in stacks)
+
+
+@jax.jit
+def _slice_chunk(stacks, ci):
+    """Device-side slice of chunk ``ci`` from the stacked epoch schedule.
+
+    ``ci`` is a traced scalar: one compile serves every chunk index (a
+    Python-int index would bake the constant in and retrace per chunk)."""
+    return tuple(s[ci] for s in stacks)
+
+
 class GRU4Rec:
     """TPU-native GRU4Rec session-based recommender."""
 
@@ -244,32 +280,30 @@ class GRU4Rec:
                     data_items, offsets, order, cfg.batch_size,
                     require_two_lanes=(cfg.n_sample == 0),
                 )
-                chunks = _chunk_schedule(sched, C)
+                stacks, ends = _stack_chunks(_chunk_schedule(sched, C))
+                stacks = _upload_stacks(stacks, mesh)
             else:
                 # deterministic session order => the schedule is identical
-                # every epoch; build + pre-chunk once (the reference re-runs
-                # its host loop per epoch, gru4rec.py:587). Single-device
-                # training also uploads the chunks once: re-transferring the
-                # same schedule every epoch costs host->device bandwidth
-                # (and round trips on a tunneled device).
+                # every epoch; build, stack, and upload once (the reference
+                # re-runs its host loop per epoch, gru4rec.py:587).
+                # Re-transferring the same schedule every epoch costs
+                # host->device bandwidth (and round trips on a tunneled
+                # device).
                 if cached_chunks is None:
                     sched = build_schedule(
                         data_items, offsets, base_order, cfg.batch_size,
                         require_two_lanes=(cfg.n_sample == 0),
                     )
-                    cached_chunks = _chunk_schedule(sched, C)
-                    if mesh is None:
-                        cached_chunks = [
-                            tuple(jnp.asarray(a) for a in c[:4]) + (c[4],)
-                            for c in cached_chunks
-                        ]
-                chunks = cached_chunks
-            T = chunks[-1][4] if chunks else 0
+                    cs, ce = _stack_chunks(_chunk_schedule(sched, C))
+                    cached_chunks = (_upload_stacks(cs, mesh), ce)
+                stacks, ends = cached_chunks
+            T = ends[-1] if ends else 0
             loss_parts, ev_parts = [], []
-            for ci, (in_c, out_c, valid_c, reset_c, _) in enumerate(chunks):
+            for ci in range(len(ends)):
+                in_c, out_c, valid_c, reset_c = _slice_chunk(
+                    stacks, np.int32(ci))
                 state, ls, ec = chunk_fn(
-                    state, jnp.asarray(in_c), jnp.asarray(out_c),
-                    jnp.asarray(valid_c), jnp.asarray(reset_c), samp1, samp2, logp0,
+                    state, in_c, out_c, valid_c, reset_c, samp1, samp2, logp0,
                 )
                 loss_parts.append(ls)
                 ev_parts.append(ec)

@@ -93,6 +93,11 @@ V3_MIN_TABLE_BYTES = 64 * 1024 * 1024
 # D=4/6/8/12/16 = 777/688/625/583/578 us. VMEM cost is
 # streams x 2 x D x 8 x d x itemsize (~3MB worst case at d=640 adam).
 V3_DEPTH = 16
+# v4 (compact gradients, in-kernel sublane alignment) keeps the whole
+# deduped gradient buffer (K+16, d) f32 VMEM-resident. Budget it to half
+# of the ~16MB/core VMEM so the pipeline scratch (~3MB) and compiler
+# overhead always fit; above this, fall back to v3's streamed gpad.
+COMPACT_VMEM_BYTES = 8 * 1024 * 1024
 
 
 def group_pack(idx, g, n_rows, return_slot_rows: bool = False,
@@ -162,6 +167,76 @@ def group_pack(idx, g, n_rows, return_slot_rows: bool = False,
     if return_nreal:
         out.append(jnp.sum(ghead & valid).astype(jnp.int32).reshape((1,)))
     return tuple(out)
+
+
+def group_pack_compact(idx, g, n_rows):
+    """v4 staging: compact deduped gradients + per-group window starts.
+
+    Same sort/dedup semantics as :func:`group_pack`, but the gradients stay
+    COMPACT — (K+8, d), row ``i`` = the i-th distinct touched row's summed
+    gradient (ascending row id; zero-padded tail) — instead of being
+    scattered into the 8x larger group-aligned ``gpad``. The (8K, d) gpad
+    round-trip (zero + scatter + kernel re-read) is pure HBM traffic the v4
+    kernel eliminates by aligning sublanes in-register (see
+    ``_fused_update_v3``'s compact mode): the staging becomes one (K, d)
+    segment-sum.
+
+    Returns ``(gblk, mask, gstart, nreal, gcomp)``:
+
+    * ``gblk``/``mask``/``nreal`` — exactly as :func:`group_pack`;
+    * ``gstart`` (K,) int32 — for group slot j, the compact row index of its
+      first member: group j's members are compact rows
+      ``gstart[j] .. gstart[j] + popcount(mask[j]) - 1`` (contiguous,
+      ascending sublane — the compact order IS the sorted row order);
+    * ``gcomp`` (K+16, d) — the deduped gradient rows; 16 zero tail rows so
+      the kernel's ALIGNED 16-row window at ``(gstart >> 3) * 8`` stays in
+      bounds for any real start (Mosaic cannot prove tile-alignment of a
+      raw dynamic start, so the kernel reads the enclosing aligned window
+      and folds ``gstart & 7`` into its permutation matmul).
+    """
+    K = idx.shape[0]
+    d = g.shape[-1]
+    sentinel = jnp.int32(np.iinfo(np.int32).max)
+    dummy_blk = n_rows // 8 - 1
+    ar = jnp.arange(K, dtype=jnp.int32)
+    sidx, order = jax.lax.sort((idx.astype(jnp.int32), ar), num_keys=1)
+    sg = jnp.take(g, order, axis=0)
+    valid = sidx < n_rows
+    head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    # compact rank of each occurrence's distinct row; invalid (sentinel)
+    # occurrences sort to the tail and are dropped from every scatter
+    rank = jnp.cumsum((head & valid).astype(jnp.int32)) - 1
+    gcomp = jnp.zeros((K + 16, d), g.dtype).at[
+        jnp.where(valid, rank, K + 16)
+    ].add(sg, mode="drop", indices_are_sorted=True)
+    # the i-th distinct valid row id (ascending; sentinel tail)
+    urow = jnp.full((K,), sentinel).at[
+        jnp.where(head & valid, rank, K)
+    ].set(sidx, mode="drop", unique_indices=True)
+
+    gvalid = urow < n_rows
+    ug = jnp.where(gvalid, urow >> 3, sentinel)
+    ughead = jnp.concatenate([jnp.ones((1,), bool), ug[1:] != ug[:-1]])
+    grank = jnp.cumsum((ughead & gvalid).astype(jnp.int32)) - 1
+    gtgt = jnp.where(ughead & gvalid, grank, K)
+    gblk = jnp.full((K,), -1, jnp.int32).at[gtgt].max(
+        jnp.where(gvalid, ug, -1), mode="drop")
+    gblk = jnp.where(gblk < 0, dummy_blk, gblk)
+    gstart = jnp.zeros((K,), jnp.int32).at[gtgt].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop", unique_indices=True)
+    bits = jnp.where(gvalid, jnp.int32(1) << (urow & 7).astype(jnp.int32), 0)
+    mask = jnp.zeros((K,), jnp.int32).at[
+        jnp.where(gvalid, grank, K)
+    ].add(bits, mode="drop")
+    nreal = jnp.sum(ughead & gvalid).astype(jnp.int32).reshape((1,))
+    return gblk, mask, gstart, nreal, gcomp
+
+
+def _popcount8(x):
+    """Population count of the low 8 bits (member masks are 8-bit)."""
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
 
 
 def _fused_update(adapt, table, acc, vel, gblk, mask, gpad, *, lr, momentum,
@@ -331,8 +406,25 @@ def _fused_update(adapt, table, acc, vel, gblk, mask, gpad, *, lr, momentum,
 
 
 def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
-                     *, lr, momentum, lmbd, v1, v2, interpret):
+                     *, lr, momentum, lmbd, v1, v2, interpret, gstart=None):
     """v3: manual-DMA software pipeline over ONLY the real groups.
+
+    With ``gstart`` (v4, "compact" mode): ``gpad`` is instead the COMPACT
+    deduped gradient buffer from :func:`group_pack_compact` ((K+16, d);
+    group j's member rows at ``gstart[j]``..), held ENTIRELY IN VMEM — no
+    per-group gradient DMA at all (one less issue on the DMA-issue-bound
+    pipeline). The kernel reads the enclosing ALIGNED 16-row window
+    ``(gstart >> 3) * 8`` (Mosaic can prove its tile-alignment; a raw
+    dynamic start it cannot) and aligns members to their table sublanes
+    in-register with an (8, 16) one-hot permutation matmul derived from the
+    member mask and the sub-block offset (ascending compact order ==
+    ascending sublane order within a group, so ``P[s, i] = member(s) and
+    i == (gstart & 7) + popcount(mask & (2^s - 1))``; non-member sublanes
+    come out zero, exactly like gpad's empty slots). This removes the
+    (8K, d) gpad round-trip — zero + scatter + re-read, ~8x the real
+    gradient bytes — from the XLA staging at the cost of one tiny MXU op
+    per group. Requires gcomp to fit VMEM (COMPACT_VMEM_BYTES guard in the
+    dispatcher).
 
     The v2 grid pays ~0.35-0.45 us of fixed cost for every one of its K
     (static) grid steps — including the padded dummy steps that
@@ -367,6 +459,7 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
     n_rows, d = table.shape
     K = gblk.shape[0]
     D = V3_DEPTH
+    compact = gstart is not None
     has_momentum = momentum > 0
     is_adam = adapt == "adam"
     merged = adapt in ("adam", "adadelta")
@@ -381,6 +474,7 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
 
     def kernel(gblk_ref, mask_ref, nreal_ref, *refs):
         refs = list(refs)
+        gstart_ref = refs.pop(0) if compact else None
         t_hbm = refs.pop(0)
         a_hbm = refs.pop(0)
         v_hbm = refs.pop(0) if has_momentum else None
@@ -392,7 +486,7 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
         refs = refs[4:]
         vin = refs.pop(0) if has_momentum else None
         vout = refs.pop(0) if has_momentum else None
-        gin = refs.pop(0)
+        gin = None if compact else refs.pop(0)
         in_sems, out_sems = refs
 
         n = nreal_ref[0]
@@ -408,9 +502,11 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                                       in_sems.at[slot, 0]),
                 pltpu.make_async_copy(a_hbm.at[rows, :], ain.at[slot],
                                       in_sems.at[slot, 1]),
-                pltpu.make_async_copy(g_hbm.at[pl.ds(j * 8, 8), :],
-                                      gin.at[slot], in_sems.at[slot, 4]),
             ]
+            if not compact:
+                cp.append(pltpu.make_async_copy(g_hbm.at[pl.ds(j * 8, 8), :],
+                                                gin.at[slot],
+                                                in_sems.at[slot, 4]))
             if has_momentum:
                 cp.append(pltpu.make_async_copy(v_hbm.at[rows, :],
                                                 vin.at[slot],
@@ -452,11 +548,36 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                 for c in out_copies(j - D, slot):
                     c.wait()
 
-            g = gin[slot]
-            if needs_mask:
+            if needs_mask or compact:
                 bits = mask_ref[j]
                 rowid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
                 member = ((bits >> rowid) & 1) > 0
+            if compact:
+                # read the enclosing ALIGNED 16-row window of the
+                # VMEM-resident compact gradients ((start >> 3) * 8 is
+                # provably tile-aligned) and align members to table
+                # sublanes: window position (start & 7) + i holds the
+                # group's i-th member (ascending sublane), so
+                # P[s, w] = member(s) & (w == off + rank of bit s in mask);
+                # the matmul also zeroes non-member sublanes (gpad
+                # semantics)
+                start = gstart_ref[j]
+                win = g_hbm[pl.ds((start >> 3) * 8, 16), :]
+                off = start & 7
+                s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 0)
+                w_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
+                rank_s = _popcount8(bits & ((jnp.int32(1) << s_iota) - 1))
+                member_s = ((bits >> s_iota) & 1) > 0
+                P = (member_s & (w_iota == off + rank_s)).astype(jnp.float32)
+                # HIGHEST precision: the default TPU f32 dot truncates the
+                # operands to bf16 passes, which would ROUND the gradients
+                # this matmul merely selects (one-hot rows make the highest-
+                # precision product/sum chain exact)
+                g = jax.lax.dot(P, win.astype(jnp.float32),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            else:
+                g = gin[slot]
             t_old = tin[slot].astype(jnp.float32)
             if adapt == "adagrad":
                 acc_new = ain[slot] + g * g
@@ -542,16 +663,21 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
         inputs.append(vel)
         in_specs.append(any_spec)
     inputs.append(gpad)
-    in_specs.append(any_spec)
+    # compact mode: the whole gradient buffer is VMEM-resident (read
+    # directly per group — no DMA stream, no scratch slot)
+    in_specs.append(
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)
+        if compact else any_spec)
     out_shape = [jax.ShapeDtypeStruct(table.shape, table.dtype),
                  jax.ShapeDtypeStruct(acc.shape, acc.dtype)]
     out_specs = [any_spec, any_spec]
-    # aliases offset by the 3 scalar-prefetch args (gblk, mask, nreal)
-    aliases = {3: 0, 4: 1}
+    # aliases offset by the scalar-prefetch args (gblk, mask, nreal[, gstart])
+    n_pref = 4 if compact else 3
+    aliases = {n_pref: 0, n_pref + 1: 1}
     if has_momentum:
         out_shape.append(jax.ShapeDtypeStruct(vel.shape, vel.dtype))
         out_specs.append(any_spec)
-        aliases[5] = 2
+        aliases[n_pref + 2] = 2
 
     scratch = [
         pltpu.VMEM((D, 8, d), table.dtype),   # tin
@@ -561,18 +687,20 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
     ]
     if has_momentum:
         scratch += [pltpu.VMEM((D, 8, d), vel.dtype)] * 2
-    scratch.append(pltpu.VMEM((D, 8, d), gpad.dtype))
+    if not compact:
+        scratch.append(pltpu.VMEM((D, 8, d), gpad.dtype))
     scratch += [pltpu.SemaphoreType.DMA((D, 5)),
                 pltpu.SemaphoreType.DMA((D, 4))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1,), in_specs=in_specs,
+        num_scalar_prefetch=n_pref, grid=(1,), in_specs=in_specs,
         out_specs=out_specs, scratch_shapes=scratch,
     )
+    pref = (gblk, mask, nreal, gstart) if compact else (gblk, mask, nreal)
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases=aliases, interpret=interpret,
-    )(gblk, mask, nreal, *inputs)
+    )(*pref, *inputs)
     outs = list(outs)
     t_out = outs.pop(0)
     a_out = outs.pop(0)
@@ -593,6 +721,21 @@ def fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
         adapt, table, acc, vel, gblk, mask, nreal, gpad,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
         interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("adapt", "lr", "momentum", "lmbd", "v1",
+                                   "v2", "interpret"))
+def fused_update_v4(adapt, table, acc, vel, gblk, mask, gstart, nreal, gcomp,
+                    *, lr: float, momentum: float, lmbd: float,
+                    v1: float, v2: float, interpret: bool = False):
+    """v4: the v3 pipeline fed COMPACT deduped gradients
+    (:func:`group_pack_compact`) with in-kernel sublane alignment — no
+    (8K, d) gpad staging buffer. Same state layout contract as v3."""
+    return _fused_update_v3(
+        adapt, table, acc, vel, gblk, mask, nreal, gcomp,
+        lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
+        interpret=interpret, gstart=gstart,
     )
 
 

@@ -297,10 +297,13 @@ class Optimizer:
             return p + vel, st
         return p * (1.0 - self.lr * self.lmbd) - self.lr * g, st
 
-    def _kernel_version(self, table, st):
+    def _kernel_version(self, table, st, n_idx=None):
         """Pick the fused-kernel variant for this table: None (XLA path),
-        "v2" (group-blocked grid) or "v3" (manual-DMA pipeline, dynamic
-        length; requires a 128-aligned width)."""
+        "v2" (group-blocked grid), "v3" (manual-DMA pipeline, dynamic
+        length; requires a 128-aligned width) or "v4" (v3 fed compact
+        VMEM-resident gradients — one less DMA issue per group and no
+        (8K, d) gpad staging; requires the compact buffer to fit the
+        COMPACT_VMEM_BYTES budget)."""
         if self.adapt is None or table.ndim != 2:
             return None  # plain SGD keeps the XLA path (no state to fuse)
         # the grouped kernels need 8-row-aligned tables and a final all-
@@ -326,12 +329,16 @@ class Optimizer:
                 return _FORCE_PALLAS_VERSION
             return "v3" if width_ok else "v2"
         from gru4rec_tpu.ops.kernels.sparse_update import (
-            PALLAS_MIN_ROWS, V3_MIN_TABLE_BYTES, _kernels_available)
+            COMPACT_VMEM_BYTES, PALLAS_MIN_ROWS, V3_MIN_TABLE_BYTES,
+            _kernels_available)
 
         if not _kernels_available():
             return None
         nbytes = table.shape[0] * table.shape[1] * table.dtype.itemsize
         if width_ok and nbytes >= V3_MIN_TABLE_BYTES:
+            if (n_idx is not None
+                    and (n_idx + 16) * table.shape[1] * 4 <= COMPACT_VMEM_BYTES):
+                return "v4"
             return "v3"
         if table.shape[0] >= PALLAS_MIN_ROWS:
             return "v2"
@@ -345,7 +352,8 @@ class Optimizer:
         grouped Pallas kernel requires the table's LAST 8-row group to be all
         padding (models/gru.py pad_items; parallel/dist_step.py appends
         per-shard scratch rows to guarantee it shard-locally)."""
-        version = self._kernel_version(table, st) if allow_kernel else None
+        version = (self._kernel_version(table, st, n_idx=idx.shape[0])
+                   if allow_kernel else None)
         if version:
             import jax
 
@@ -354,6 +362,28 @@ class Optimizer:
                 fused_rmsprop_update, fused_update_v3, group_pack)
 
             interpret = jax.default_backend() != "tpu"
+            # the single state operand: "acc" for adagrad/rmsprop, the merged
+            # "acc2" for adam/adadelta (_kernel_version guarantees it)
+            state_key = "acc2" if self.adapt in ("adam", "adadelta") else "acc"
+            if version == "v4":
+                from gru4rec_tpu.ops.kernels.sparse_update import (
+                    fused_update_v4, group_pack_compact)
+
+                # compact staging: one (K, d) segment-sum, no (8K, d) gpad
+                # round-trip — the kernel aligns sublanes in-register
+                gblk, mask, gstart, nreal, gcomp = group_pack_compact(
+                    idx, g, table.shape[0])
+                table, state, vel = fused_update_v4(
+                    self.adapt, table, st[state_key], st.get("velocity"),
+                    gblk, mask, gstart, nreal, gcomp,
+                    lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
+                    v1=self.v1, v2=self.v2, interpret=interpret,
+                )
+                st = dict(st)
+                st[state_key] = state
+                if vel is not None:
+                    st["velocity"] = vel
+                return table, st
             # group_pack folds the duplicate-index summing into its packing
             # scatter, so the kernel path skips dedup_rows entirely. Adam
             # needs NO extra bookkeeping: its per-row step count lives as a
@@ -361,9 +391,6 @@ class Optimizer:
             # in-kernel.
             gblk, mask, gpad, nreal = group_pack(
                 idx, g, table.shape[0], return_nreal=True)
-            # the single state operand: "acc" for adagrad/rmsprop, the merged
-            # "acc2" for adam/adadelta (_kernel_version guarantees it)
-            state_key = "acc2" if self.adapt in ("adam", "adadelta") else "acc"
             if version == "v3":
                 table, state, vel = fused_update_v3(
                     self.adapt, table, st[state_key], st.get("velocity"),

@@ -19,6 +19,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 import gru4rec_tpu.train.optimizers as optmod
 from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.models import gru
@@ -51,7 +55,7 @@ SHAPES = {
 
 
 def run(shape_name, adapt="adagrad", force_pallas=None,
-        opt_state_dtype="bfloat16"):
+        opt_state_dtype="bfloat16", force_version=None):
     sh = dict(SHAPES[shape_name])
     n_items = sh.pop("n_items")
     cfg = GRU4RecConfig(
@@ -61,6 +65,7 @@ def run(shape_name, adapt="adagrad", force_pallas=None,
         dropout_p_embed=0.0, dropout_p_hidden=0.0, **sh,
     )
     optmod._FORCE_PALLAS = force_pallas
+    optmod._FORCE_PALLAS_VERSION = force_version
     rng = np.random.RandomState(0)
     B = cfg.batch_size
     ranks = np.arange(1, n_items + 1, dtype=np.float64)
@@ -94,6 +99,7 @@ def run(shape_name, adapt="adagrad", force_pallas=None,
         "kernel": ("auto" if force_pallas is None else
                    ("on" if force_pallas else "off")),
         "opt_state_dtype": opt_state_dtype,
+        "version": force_version or "auto",
         "us_per_step": round(us_per_step, 1),
         "events_per_s": round(ev_per_s, 0),
     }), flush=True)
@@ -112,13 +118,35 @@ RUNS = [
     ("retailrocket", "adagrad", None),
 ]
 
+# v3-vs-v4 A/B at the shapes where the fused kernel runs (or could):
+# full real chunk step, same staging path the production dispatcher uses
+RUNS_V4 = [
+    ("rees46", "rmsprop", True, "v3"),
+    ("rees46", "rmsprop", True, "v4"),
+    ("rees46", "adam", True, "v3"),
+    ("rees46", "adam", True, "v4"),
+    ("rees46", "adagrad", True, "v3"),
+    ("rees46", "adagrad", True, "v4"),
+    ("yoochoose", "adagrad", True, "v3"),
+    ("yoochoose", "adagrad", True, "v4"),
+    ("yoochoose", "adagrad", False, None),
+    ("rsc15", "adagrad", True, "v4"),
+    ("rsc15", "adagrad", False, None),
+    ("diginetica", "adagrad", True, "v3"),
+    ("diginetica", "adagrad", True, "v4"),
+]
+
 if __name__ == "__main__":
     tags = sys.argv[1:]
-    for shape, adapt, force in RUNS:
+    runs = [r + (None,) for r in RUNS]
+    if tags and tags[0] == "v4ab":
+        runs, tags = RUNS_V4, tags[1:]
+    for shape, adapt, force, ver in runs:
         if tags and shape not in tags:
             continue
         try:
-            run(shape, adapt, force)
+            run(shape, adapt, force, force_version=ver)
         except Exception as e:
-            print(json.dumps({"shape": shape, "adapt": adapt, "error": str(e)}),
+            print(json.dumps({"shape": shape, "adapt": adapt, "version": ver,
+                              "error": str(e)}),
                   flush=True)

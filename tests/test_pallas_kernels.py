@@ -11,7 +11,7 @@ from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.train.optimizers import make_optimizer
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2", "v3", "v4"])
 @pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adadelta", "adam"])
 @pytest.mark.parametrize("momentum", [0.0, 0.4])
 @pytest.mark.parametrize("lmbd", [0.0, 0.01])
@@ -22,7 +22,7 @@ def test_fused_update_matches_xla(version, adapt, momentum, lmbd,
     rng = np.random.RandomState(0)
     # v3's manual DMA slices require a 128-aligned width (models/gru.py
     # pad_cols guarantees it for real tables)
-    n_rows, d, n_idx = 64, (128 if version == "v3" else 16), 24
+    n_rows, d, n_idx = 64, (128 if version in ("v3", "v4") else 16), 24
     cfg = GRU4RecConfig(adapt=adapt, momentum=momentum, lmbd=lmbd,
                         learning_rate=0.1, opt_state_dtype="float32")
     table = rng.randn(n_rows, d).astype(np.float32)
@@ -60,14 +60,14 @@ def test_fused_update_matches_xla(version, adapt, momentum, lmbd,
                                        atol=1e-6, err_msg=k)
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2", "v3", "v4"])
 @pytest.mark.parametrize("adapt", ["rmsprop", "adadelta", "adam"])
 def test_fused_update_narrow_state(adapt, version, monkeypatch):
     """Narrow (bf16) EMA state: kernel and XLA paths must round identically
     (f32 math, storage-dtype rounding only on the persisted rows)."""
     monkeypatch.setattr(optmod, "_FORCE_PALLAS_VERSION", version)
     rng = np.random.RandomState(1)
-    n_rows, d, n_idx = 64, (128 if version == "v3" else 16), 20
+    n_rows, d, n_idx = 64, (128 if version in ("v3", "v4") else 16), 20
     cfg = GRU4RecConfig(adapt=adapt, momentum=0.4, learning_rate=0.1,
                         adapt_params=[0.9, 0.95], opt_state_dtype="bfloat16")
     table = rng.randn(n_rows, d).astype(np.float32)
@@ -128,6 +128,72 @@ def test_group_pack_invariants():
     assert (crows[4:] == 2**31 - 1).all()
     assert list(cslots[:4]) == [0 * 8 + 3, 1 * 8 + 3, 1 * 8 + 4, 2 * 8 + 0]
     assert (cslots[4:] == 8 * len(idx)).all()
+
+
+def test_group_pack_compact_invariants():
+    """v4 staging contract: compact rows are the ascending distinct touched
+    rows with duplicates summed; group j's members occupy compact positions
+    gstart[j]..gstart[j]+popcount(mask[j])-1; gblk/mask/nreal agree with
+    group_pack."""
+    from gru4rec_tpu.ops.kernels.sparse_update import (group_pack,
+                                                       group_pack_compact)
+
+    n_rows = 64
+    idx = np.array([3, 11, 3, 12, 40, 40, 40, 2**31 - 1, 2**31 - 1],
+                   np.int32)
+    g = np.arange(9, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+    gblk, mask, gstart, nreal, gcomp = map(
+        np.asarray,
+        group_pack_compact(jnp.asarray(idx), jnp.asarray(g), n_rows))
+    gblk0, mask0, _, nreal0 = map(
+        np.asarray,
+        group_pack(jnp.asarray(idx), jnp.asarray(g), n_rows,
+                   return_nreal=True))
+    np.testing.assert_array_equal(gblk, gblk0)
+    np.testing.assert_array_equal(mask, mask0)
+    assert int(nreal[0]) == int(nreal0[0]) == 3
+    # compact rows: [3, 11, 12, 40] with duplicate sums, zero tail
+    np.testing.assert_allclose(gcomp[0], 0 + 2.0)
+    np.testing.assert_allclose(gcomp[1], 1.0)
+    np.testing.assert_allclose(gcomp[2], 3.0)
+    np.testing.assert_allclose(gcomp[3], 4 + 5 + 6.0)
+    assert gcomp.shape == (len(idx) + 16, 4)
+    np.testing.assert_allclose(gcomp[4:], 0.0)
+    # window starts: group 0 (row 3) -> 0; group 1 (rows 11,12) -> 1;
+    # group 5 (row 40) -> 3
+    assert list(gstart[:3]) == [0, 1, 3]
+
+
+def test_kernel_version_auto_dispatch(monkeypatch):
+    """Auto dispatch: v4 when the table clears V3_MIN_TABLE_BYTES and the
+    compact gradient buffer fits the VMEM budget; v3 above it; v2 for
+    unaligned widths at PALLAS_MIN_ROWS; XLA below both."""
+    import gru4rec_tpu.ops.kernels.sparse_update as su
+
+    monkeypatch.setattr(su, "_kernels_available", lambda: True)
+    opt = make_optimizer(GRU4RecConfig(adapt="adagrad", learning_rate=0.1))
+
+    class T:
+        def __init__(self, rows, cols):
+            self.shape = (rows, cols)
+            self.ndim = 2
+            self.dtype = np.dtype(np.float32)
+
+    def ver(rows, cols, n_idx):
+        t = T(rows, cols)
+        s = {"acc": t}
+        return opt._kernel_version(t, s, n_idx=n_idx)
+
+    # 200k x 640 f32 = 512MB >= 64MB; K=2288 compact = 5.9MB <= 8MB -> v4
+    assert ver(200_064, 640, 2288) == "v4"
+    # compact buffer over budget -> v3 (same table)
+    assert ver(200_064, 640, 4096) == "v3"
+    # no n_idx information -> conservative v3
+    assert ver(200_064, 640, None) == "v3"
+    # large rows but unaligned width -> v2
+    assert ver(200_064, 130, 2288) == "v2"
+    # small aligned table (< 64MB, < PALLAS_MIN_ROWS) -> XLA
+    assert ver(16_384, 128, 2288) is None
 
 
 def test_fit_with_forced_pallas_matches_xla(monkeypatch):

@@ -160,3 +160,27 @@ def test_session_order_time_sort():
     assert list(order) == [1, 2, 0]
     order = session_order(df, "SessionId", "Time", time_sort=False, n_sessions=3)
     assert list(order) == [0, 1, 2]
+
+
+def test_stacked_chunk_upload_roundtrip():
+    """fit()'s stacked-schedule device path: _stack_chunks + _slice_chunk
+    must reproduce each per-chunk block bit-for-bit (incl. the zero-padded
+    ragged tail), so the single 4-transfer epoch upload is semantics-free."""
+    import numpy as np
+
+    from gru4rec_tpu.models.gru4rec import (_chunk_schedule, _slice_chunk,
+                                            _stack_chunks, _upload_stacks)
+
+    rng = np.random.RandomState(3)
+    items, offsets, _ = make_sessions(rng, 40, min_len=2, max_len=7)
+    sched = build_schedule(items, offsets, np.arange(40), batch_size=8)
+    C = 16
+    chunks = _chunk_schedule(sched, C)
+    assert len(chunks) >= 2 and sched.n_steps % C != 0  # ragged tail covered
+    stacks, ends = _stack_chunks(chunks)
+    stacks = _upload_stacks(stacks, None)
+    assert ends == [c[4] for c in chunks]
+    for ci, c in enumerate(chunks):
+        got = _slice_chunk(stacks, np.int32(ci))
+        for a, b in zip(got, c[:4]):
+            np.testing.assert_array_equal(np.asarray(a), b)
