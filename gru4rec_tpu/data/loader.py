@@ -33,7 +33,7 @@ def load_data(fname: str, session_key: str = "SessionId", item_key: str = "ItemI
         print(f"Loading data from pickle file: {fname}")
         try:
             data = pd.read_pickle(fname)
-        except Exception:
+        except Exception as pickle_exc:
             # the reference dumps datasets with joblib (run.py:48), whose
             # archive format plain pickle cannot read — accept those too so
             # a user's existing .pickle files keep working
@@ -44,7 +44,16 @@ def load_data(fname: str, session_key: str = "SessionId", item_key: str = "ItemI
                     f"{fname} is not a pandas pickle and joblib is not "
                     "installed to try its format"
                 ) from exc
-            data = joblib.load(fname)
+            try:
+                data = joblib.load(fname)
+            except Exception as exc:
+                # surface the ORIGINAL pandas failure too — a truncated or
+                # corrupt pandas pickle would otherwise hide behind a
+                # confusing joblib-format error
+                raise ValueError(
+                    f"could not load {fname} as a pandas pickle "
+                    f"({pickle_exc!r}) nor as a joblib archive ({exc!r})"
+                ) from pickle_exc
         check_columns(list(data.columns), "frame")
     else:
         with open(fname, "rt") as f:

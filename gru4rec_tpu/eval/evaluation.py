@@ -242,8 +242,12 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
         col_valid = (jnp.arange(rows_total) < rows_local) & (col_ids < n_items)
 
         def gather_rows(shard, idx):
+            # sentinel = rows_total (PAST the kernel-scratch rows): it must
+            # be out of bounds so mode="fill" zeroes it — rows_local itself
+            # addresses the first scratch row when scratch_rows > 0, which
+            # would silently gather whatever training left there
             loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
-                            rows_local)
+                            rows_total)
             rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
             return jax.lax.psum(rows, "model")
 
@@ -252,7 +256,7 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
             # keeps only the rows it owns (others zero, masked from counts);
             # gathered ONCE per chunk, the scan reuses them every step
             sub_owned = (item_idx >= r0) & (item_idx < r0 + rows_local)
-            loc_sub = jnp.where(sub_owned, item_idx - r0, rows_local)
+            loc_sub = jnp.where(sub_owned, item_idx - r0, rows_total)
             sub_rows = jnp.take(params["Wy"], loc_sub, axis=0, mode="fill",
                                 fill_value=0)
 

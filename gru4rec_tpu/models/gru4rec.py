@@ -9,6 +9,7 @@ a per-step host loop.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -50,6 +51,8 @@ def _stack_chunks(chunks):
     convert/broadcast program), so the old per-chunk upload dominated
     epoch 1 — 183 chunks x 4 arrays ≈ 330 s at the flagship shape
     (PERF_NOTES "Cold-start anatomy")."""
+    if not chunks:  # zero-step schedule: a valid, empty epoch
+        return None, []
     stacks = tuple(
         np.stack([c[i] for c in chunks]) for i in range(4)
     )
@@ -57,7 +60,19 @@ def _stack_chunks(chunks):
     return stacks, ends
 
 
+# Device-HBM budget for the stacked epoch schedule (~10 bytes per
+# step-lane). Above it, the stacks stay on host and the loop falls back to
+# per-chunk uploads — slower cold-start, but a giant dataset can't crowd
+# the item tables + optimizer state out of a 16 GB chip.
+_SCHEDULE_DEVICE_BYTE_BUDGET = int(os.environ.get(
+    "GRU4REC_TPU_SCHEDULE_DEVICE_BYTES", 1 << 30))
+
+
 def _upload_stacks(stacks, mesh):
+    if stacks is None:  # empty epoch (zero-step schedule)
+        return None
+    if sum(s.nbytes for s in stacks) > _SCHEDULE_DEVICE_BYTE_BUDGET:
+        return stacks  # host fallback; _get_chunk slices numpy per chunk
     if mesh is None:
         return tuple(jnp.asarray(s) for s in stacks)
     from jax.sharding import NamedSharding, PartitionSpec
@@ -75,6 +90,12 @@ def _slice_chunk(stacks, ci):
     ``ci`` is a traced scalar: one compile serves every chunk index (a
     Python-int index would bake the constant in and retrace per chunk)."""
     return tuple(s[ci] for s in stacks)
+
+
+def _get_chunk(stacks, ci):
+    if isinstance(stacks[0], np.ndarray):  # over-budget host fallback
+        return tuple(s[ci] for s in stacks)
+    return _slice_chunk(stacks, np.int32(ci))
 
 
 class GRU4Rec:
@@ -300,8 +321,7 @@ class GRU4Rec:
             T = ends[-1] if ends else 0
             loss_parts, ev_parts = [], []
             for ci in range(len(ends)):
-                in_c, out_c, valid_c, reset_c = _slice_chunk(
-                    stacks, np.int32(ci))
+                in_c, out_c, valid_c, reset_c = _get_chunk(stacks, ci)
                 state, ls, ec = chunk_fn(
                     state, in_c, out_c, valid_c, reset_c, samp1, samp2, logp0,
                 )

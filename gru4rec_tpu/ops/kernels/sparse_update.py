@@ -300,8 +300,10 @@ def _fused_update(adapt, table, acc, vel, gblk, mask, gpad, *, lr, momentum,
 
     acc_dtype, vel_dtype = acc.dtype, vel.dtype
 
-    ln_v1 = float(np.log(v1)) if is_adam and v1 > 0 else 0.0
-    ln_v2 = float(np.log(v2)) if is_adam and v2 > 0 else 0.0
+    # v == 0 means correction 1 - 0^t = 1 exactly (the XLA path's _ln uses
+    # -inf for this); ln = 0.0 would yield -expm1(0) = 0 and a divide-by-zero
+    ln_v1 = float(np.log(v1)) if is_adam and v1 > 0 else None
+    ln_v2 = float(np.log(v2)) if is_adam and v2 > 0 else None
 
     def kernel(gblk_ref, mask_ref, *refs):
         t_ref, a_ref, v_ref, g_ref, to_ref, ao_ref, vo_ref = refs
@@ -343,8 +345,11 @@ def _fused_update(adapt, table, acc, vel, gblk, mask, gpad, *, lr, momentum,
             # rows, derive bias corrections in-register (non-members keep
             # corr = 1, an inf/NaN-free dummy — their lanes are masked)
             cnt_new = jnp.where(member, cntb[:, :1] + 1.0, cntb[:, :1])
-            c1 = jnp.where(member, _neg_expm1(cnt_new * ln_v1), 1.0)
-            c2 = jnp.where(member, _neg_expm1(cnt_new * ln_v2), 1.0)
+            one = jnp.ones_like(cnt_new)
+            c1 = (jnp.where(member, _neg_expm1(cnt_new * ln_v1), 1.0)
+                  if ln_v1 is not None else one)
+            c2 = (jnp.where(member, _neg_expm1(cnt_new * ln_v2), 1.0)
+                  if ln_v2 is not None else one)
             gs = (m_new / c1) / (jnp.sqrt(acc_new / c2) + EPSILON)
             # the count fills ALL 128 lanes of its block: a broadcast is
             # aligned-only VPU work, while a 127-lane passthrough concat at
@@ -469,8 +474,10 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
     needs_mask = has_momentum or lmbd > 0 or adapt != "adagrad"
     acc_dtype = acc.dtype
     vel_dtype = vel.dtype if has_momentum else None
-    ln_v1 = float(np.log(v1)) if is_adam and v1 > 0 else 0.0
-    ln_v2 = float(np.log(v2)) if is_adam and v2 > 0 else 0.0
+    # v == 0 means correction 1 - 0^t = 1 exactly (the XLA path's _ln uses
+    # -inf for this); ln = 0.0 would yield -expm1(0) = 0 and a divide-by-zero
+    ln_v1 = float(np.log(v1)) if is_adam and v1 > 0 else None
+    ln_v2 = float(np.log(v2)) if is_adam and v2 > 0 else None
 
     def kernel(gblk_ref, mask_ref, nreal_ref, *refs):
         refs = list(refs)
@@ -611,8 +618,11 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                 # member rows, derive the bias corrections in-register
                 # (non-member lanes keep corr = 1, an inf/NaN-free dummy)
                 cnt_new = jnp.where(member, cntb[:, :1] + 1.0, cntb[:, :1])
-                c1 = jnp.where(member, _neg_expm1(cnt_new * ln_v1), 1.0)
-                c2 = jnp.where(member, _neg_expm1(cnt_new * ln_v2), 1.0)
+                one = jnp.ones_like(cnt_new)
+                c1 = (jnp.where(member, _neg_expm1(cnt_new * ln_v1), 1.0)
+                      if ln_v1 is not None else one)
+                c2 = (jnp.where(member, _neg_expm1(cnt_new * ln_v2), 1.0)
+                      if ln_v2 is not None else one)
                 gs = (m_new / c1) / (jnp.sqrt(acc_new / c2) + EPSILON)
                 # count fills ALL 128 lanes (aligned broadcast, no
                 # cross-tile lane shifts -- see the v2 kernel note)

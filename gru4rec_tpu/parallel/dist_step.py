@@ -58,11 +58,13 @@ def _expand_scratch(arr, nm: int):
 
 
 def _strip_scratch(arr, nm: int):
-    """Inverse of _expand_scratch (gathers to host numpy)."""
+    """Inverse of _expand_scratch. Returns HOST numpy: the callers gather
+    per-shard and must never materialize the whole canonical table on one
+    device (a jnp result here would silently place it on device 0)."""
     arr = np.asarray(arr)
     Lp = arr.shape[0] // nm
     blocks = arr.reshape((nm, Lp) + arr.shape[1:])[:, : Lp - SCRATCH_ROWS]
-    return jnp.asarray(
+    return np.ascontiguousarray(
         blocks.reshape((arr.shape[0] - SCRATCH_ROWS * nm,) + arr.shape[1:])
     )
 
@@ -111,8 +113,7 @@ def unshard_params(params, cfg: GRU4RecConfig, mesh):
     mode = gru.input_mode(cfg)
     nm = mesh.shape["model"]
     host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
-    return _map_item_tables(host, lambda a: np.asarray(_strip_scratch(a, nm)),
-                            mode)
+    return _map_item_tables(host, lambda a: _strip_scratch(a, nm), mode)
 
 
 def unshard_train_state(state, cfg: GRU4RecConfig, mesh):
@@ -121,7 +122,9 @@ def unshard_train_state(state, cfg: GRU4RecConfig, mesh):
     mode = gru.input_mode(cfg)
     nm = mesh.shape["model"]
     strip = lambda a: _strip_scratch(a, nm)
-    host = lambda t: jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), t)
+    # host numpy throughout: the canonical full-size item tables must not
+    # be placed on a single device (they may only fit sharded)
+    host = lambda t: jax.tree_util.tree_map(lambda x: np.asarray(x), t)
     params = _map_item_tables(host(state.params), strip, mode)
     opt_state = dict(host(state.opt_state))
     opt_state["sparse"] = jax.tree_util.tree_map(strip, opt_state["sparse"])

@@ -171,8 +171,13 @@ class Optimizer:
             st["acc2"] = jnp.zeros((param.shape[0], 2 * param.shape[1]),
                                    dtype=ema(self.v1))
         elif merged:  # adam: [acc | meang | count-column block]
+            # ALWAYS f32: the count column stores integers, and bf16's
+            # 8 mantissa bits freeze any count at 256 (256 + 1 rounds back
+            # under ties-to-even) — bias corrections would stick at
+            # 1 - v^256 forever. (With the default v2=0.999 _ema_dtype
+            # forces f32 anyway; this also covers fast-decay betas.)
             st["acc2"] = jnp.zeros((param.shape[0], 2 * param.shape[1] + 128),
-                                   dtype=ema(max(self.v1, self.v2)))
+                                   dtype=jnp.float32)
         elif self.adapt == "adadelta":
             st["acc"] = zeros(ema(self.v1))
             st["upd"] = zeros(ema(self.v1))

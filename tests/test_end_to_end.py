@@ -250,3 +250,39 @@ def test_predict_topk(trained):
     # note: predict_topk shares lane state; using the same session ids keeps
     # H consistent with the frame call above (session unchanged -> no reset)
     np.testing.assert_array_equal(items2[:, 0], top1_full)
+
+
+def test_fit_with_zero_step_schedule():
+    """All-singleton sessions produce a zero-step schedule; fit() must
+    complete the epoch cleanly (regression: the stacked-schedule upload
+    crashed on np.stack([]))."""
+    data = pd.DataFrame({
+        "SessionId": np.arange(10),
+        "ItemId": [f"i{j % 3}" for j in range(10)],
+        "Time": np.arange(10),
+    })
+    cfg = GRU4RecConfig(layers=[8], batch_size=4, n_sample=4, n_epochs=1,
+                        chunk_size=8, item_pad_multiple=8)
+    m = GRU4Rec(cfg)
+    m.fit(data)
+    assert not m.error_during_train
+    assert m.epoch_stats[0]["steps"] == 0
+
+
+def test_fit_with_host_schedule_fallback(monkeypatch):
+    """Over-budget epoch schedules stay host-side (per-chunk upload path);
+    training must produce the same results as the device-resident path."""
+    import gru4rec_tpu.models.gru4rec as g4r
+
+    data = markov_data(n_sessions=80, n_items=12, seed=3)
+    cfg = GRU4RecConfig(loss="cross-entropy", final_act="softmax",
+                        layers=[16], batch_size=8, n_sample=8, n_epochs=2,
+                        chunk_size=16, item_pad_multiple=16)
+    m_dev = GRU4Rec(cfg)
+    m_dev.fit(data)
+    monkeypatch.setattr(g4r, "_SCHEDULE_DEVICE_BYTE_BUDGET", 0)
+    m_host = GRU4Rec(cfg)
+    m_host.fit(data)
+    np.testing.assert_allclose(np.asarray(m_host.params["Wy"]),
+                               np.asarray(m_dev.params["Wy"]),
+                               rtol=1e-5, atol=1e-6)

@@ -100,8 +100,15 @@ def test_sparse_state_dtype_gated_on_decay():
     assert st["acc2"].shape == (8, 2 * 4 + 128)
     assert st["velocity"].dtype == jnp.bfloat16
 
-    # a fast second moment (v2 = 0.95) may be stored narrow again
+    # adam's merged buffer stays f32 even with fast decays: its count
+    # column stores integers, and bf16 freezes any count at 256 (see
+    # test_adam_count_survives_256_steps) — the decay gate applies only to
+    # pure-EMA buffers (adadelta's merged [acc|upd] may narrow)
     cfg = GRU4RecConfig(adapt="adam", adapt_params=[0.9, 0.95])
+    st = make_optimizer(cfg).init_state(jnp.zeros((8, 4), jnp.float32), sparse=True)
+    assert st["acc2"].dtype == jnp.float32
+    cfg = GRU4RecConfig(adapt="adadelta", adapt_params=[0.9],
+                        opt_state_dtype="bfloat16")
     st = make_optimizer(cfg).init_state(jnp.zeros((8, 4), jnp.float32), sparse=True)
     assert st["acc2"].dtype == jnp.bfloat16
 
@@ -132,6 +139,40 @@ def test_adam_second_moment_does_not_freeze():
     want = 1.0 - cfg.adapt_params[1] ** 500  # ~0.3936
     got = np.asarray(st["acc2"], np.float32)[1, 0]  # acc = first d columns
     np.testing.assert_allclose(got, want, rtol=0.02)
+
+
+def test_adam_count_survives_256_steps():
+    """Regression: with fast betas ([0.9, 0.95]) the merged buffer used to
+    inherit bf16 from the decay gate, freezing the per-row step count at 256
+    (257 rounds back to 256 under ties-to-even) and sticking the bias
+    corrections at 1 - v^256 forever."""
+    cfg = GRU4RecConfig(adapt="adam", adapt_params=[0.9, 0.95],
+                        learning_rate=0.01, opt_state_dtype="bfloat16")
+    opt = make_optimizer(cfg)
+    table = jnp.zeros((8, 4), jnp.float32)
+    st = opt.init_state(table, sparse=True)
+    idx = jnp.asarray(np.array([2], np.int32))
+    g = jnp.ones((1, 4), jnp.float32)
+    for _ in range(300):
+        table, st = opt.apply_sparse(table, idx, g, st)
+    count = np.asarray(st["acc2"], np.float32)[2, 2 * 4]
+    assert count == 300.0, count
+
+
+def test_adam_zero_beta_is_finite():
+    """v1 = 0 (no first-moment smoothing) must behave like the XLA oracle:
+    correction 1 - 0^t = 1, never a 0-divide."""
+    cfg = GRU4RecConfig(adapt="adam", adapt_params=[0.0, 0.999],
+                        learning_rate=0.01)
+    opt = make_optimizer(cfg)
+    table = jnp.zeros((8, 4), jnp.float32)
+    st = opt.init_state(table, sparse=True)
+    idx = jnp.asarray(np.array([1], np.int32))
+    g = jnp.ones((1, 4), jnp.float32)
+    for _ in range(3):
+        table, st = opt.apply_sparse(table, idx, g, st)
+    assert np.isfinite(np.asarray(table)).all()
+    assert abs(np.asarray(table)[1, 0]) > 1e-4  # actually moved
 
 
 def test_grad_cap():

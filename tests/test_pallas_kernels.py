@@ -130,6 +130,37 @@ def test_group_pack_invariants():
     assert (cslots[4:] == 8 * len(idx)).all()
 
 
+@pytest.mark.parametrize("version", ["v2", "v3", "v4"])
+@pytest.mark.parametrize("adapt_params", [[0.0, 0.999], [0.9, 0.0]])
+def test_fused_adam_zero_beta_matches_xla(version, adapt_params, monkeypatch):
+    """Regression: v == 0 means bias correction 1 - 0^t = 1 exactly. The
+    kernels used ln = 0.0 as the degenerate stand-in, making the correction
+    -expm1(0) = 0 and the update divide by zero (NaN table) while the XLA
+    path (_ln -> -inf) trained fine."""
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS_VERSION", version)
+    rng = np.random.RandomState(2)
+    n_rows, d, n_idx = 64, (128 if version in ("v3", "v4") else 16), 16
+    cfg = GRU4RecConfig(adapt="adam", adapt_params=adapt_params,
+                        learning_rate=0.1, opt_state_dtype="float32")
+    table = rng.randn(n_rows, d).astype(np.float32)
+    idx = rng.choice(n_rows - 8, n_idx, replace=False).astype(np.int32)
+    g = rng.randn(n_idx, d).astype(np.float32) * 0.1
+
+    def run(force):
+        monkeypatch.setattr(optmod, "_FORCE_PALLAS", force)
+        opt = make_optimizer(cfg)
+        st = opt.init_state(jnp.asarray(table), sparse=True)
+        tbl = jnp.asarray(table)
+        for _ in range(2):
+            tbl, st = opt.apply_sparse(tbl, jnp.asarray(idx), jnp.asarray(g), st)
+        return np.asarray(tbl)
+
+    t_xla = run(False)
+    t_pal = run(True)
+    assert np.isfinite(t_pal).all()
+    np.testing.assert_allclose(t_pal, t_xla, rtol=1e-5, atol=1e-6)
+
+
 def test_group_pack_compact_invariants():
     """v4 staging contract: compact rows are the ascending distinct touched
     rows with duplicates summed; group j's members occupy compact positions
