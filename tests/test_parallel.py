@@ -104,14 +104,18 @@ def test_dist_matches_single_device(mode_kwargs, loss):
     _run_dist_vs_single(mode_kwargs, loss)
 
 
+@pytest.mark.parametrize("version", [None, "v4"])
 @pytest.mark.parametrize("adapt", ["adagrad", "rmsprop", "adadelta", "adam"])
-def test_dist_with_forced_kernel_matches_single_device(adapt, monkeypatch):
+def test_dist_with_forced_kernel_matches_single_device(adapt, version,
+                                                       monkeypatch):
     """The fused sparse-update kernel on SHARDED tables (per-shard scratch
     rows provide the dummy group) must reproduce the single-device XLA-path
-    parameters."""
+    parameters — both the default v3 pipeline and the compact-gradient v4
+    (whose VMEM-resident gcomp is built per shard)."""
     import gru4rec_tpu.train.optimizers as optmod
 
     monkeypatch.setattr(optmod, "_FORCE_PALLAS", True)
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS_VERSION", version)
     # single-device side also runs the (interpret-mode) kernel; parity with
     # the XLA path is covered by test_pallas_kernels
     _run_dist_vs_single({"constrained_embedding": True}, "bpr-max", adapt=adapt)
