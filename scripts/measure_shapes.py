@@ -134,6 +134,12 @@ RUNS_V4 = [
     ("rsc15", "adagrad", False, None),
     ("diginetica", "adagrad", True, "v3"),
     ("diginetica", "adagrad", True, "v4"),
+    # sub-64MB regime: XLA wins vs v3 (fast-memory promotion), but v4 drops
+    # the gpad staging + one DMA issue/group — re-contest the dispatch line
+    ("retailrocket", "adagrad", True, "v4"),
+    ("retailrocket", "adagrad", False, None),
+    ("coveo", "adagrad", True, "v4"),
+    ("coveo", "adagrad", False, None),
 ]
 
 if __name__ == "__main__":
