@@ -33,6 +33,10 @@ def load_data(fname: str, session_key: str = "SessionId", item_key: str = "ItemI
         print(f"Loading data from pickle file: {fname}")
         try:
             data = pd.read_pickle(fname)
+        except OSError:
+            # missing/unreadable file: not a format problem — don't hide the
+            # real error behind a joblib-fallback ValueError
+            raise
         except Exception as pickle_exc:
             # the reference dumps datasets with joblib (run.py:48), whose
             # archive format plain pickle cannot read — accept those too so

@@ -278,7 +278,9 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
                 # score [targets | subset] like the single-chip subset path;
                 # target rows gathered per step (b rows), subset rows hoisted
                 t_owned = (out_v >= r0) & (out_v < r0 + rows_local)
-                loc_t = jnp.where(t_owned, out_v - r0, rows_local)
+                # sentinel past the scratch rows (see gather_rows above):
+                # rows_local itself addresses the first kernel-scratch row
+                loc_t = jnp.where(t_owned, out_v - r0, rows_total)
                 t_rows = jnp.take(params["Wy"], loc_t, axis=0, mode="fill",
                                   fill_value=0)
                 srows["Wy"] = jnp.concatenate([t_rows, sub_rows], axis=0)

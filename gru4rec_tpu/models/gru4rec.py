@@ -301,6 +301,10 @@ class GRU4Rec:
                     data_items, offsets, order, cfg.batch_size,
                     require_two_lanes=(cfg.n_sample == 0),
                 )
+                # release the previous epoch's device stacks BEFORE the new
+                # upload: rebinding after would transiently hold 2x the
+                # schedule byte budget on device
+                stacks = None
                 stacks, ends = _stack_chunks(_chunk_schedule(sched, C))
                 stacks = _upload_stacks(stacks, mesh)
             else:
@@ -372,13 +376,17 @@ class GRU4Rec:
                 # never gathered to one chip.
                 prev_params = self.params
                 self.params = state.params
-                rec, mrr = _evaluate(
-                    self, eval_data, cut_off=[eval_cutoff],
-                    batch_size=eval_batch_size, mode=eval_mode,
-                    session_key=session_key, item_key=item_key,
-                    time_key=time_key, mesh=mesh,
-                )
-                self.params = prev_params
+                try:
+                    rec, mrr = _evaluate(
+                        self, eval_data, cut_off=[eval_cutoff],
+                        batch_size=eval_batch_size, mode=eval_mode,
+                        session_key=session_key, item_key=item_key,
+                        time_key=time_key, mesh=mesh,
+                    )
+                finally:
+                    # even if evaluate() raises: never leave self.params
+                    # pointing at the sharded scratch-row training layout
+                    self.params = prev_params
                 metric = rec[0] if eval_metric == "recall" else mrr[0]
                 self.valid_stats.append(
                     {"epoch": epoch + 1, "recall": rec[0], "mrr": mrr[0]})
