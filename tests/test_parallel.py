@@ -341,6 +341,43 @@ def test_distributed_item_subset_evaluation(eval_model):
                                        err_msg=f"{tie_mode}/{len(items)}")
 
 
+def test_distributed_subset_eval_ignores_poisoned_scratch_rows(eval_model):
+    """In-fit validation evaluates the LIVE training-layout state, whose
+    per-shard kernel scratch rows hold whatever the fused kernel last wrote.
+    Every gather in the distributed evaluator must sentinel PAST the scratch
+    rows (regression: the subset path's non-owned target sentinel used to
+    address the first scratch row, silently reading kernel leftovers)."""
+    from gru4rec_tpu.eval import evaluate
+    from gru4rec_tpu.parallel.dist_step import SCRATCH_ROWS, _expand_scratch
+
+    m, test = eval_model
+    mesh = make_mesh(2, 4)
+    nm = mesh.shape["model"]
+    items = [f"it{i}" for i in range(13)]  # strict subset: self_adj path
+    rec_ref, mrr_ref = evaluate(m, test, items=items, cut_off=[1, 5],
+                                batch_size=8, mode="standard")
+
+    def poison(arr):
+        arr = np.asarray(_expand_scratch(np.asarray(arr), nm))
+        Lp = arr.shape[0] // nm
+        blocks = arr.reshape((nm, Lp) + arr.shape[1:]).copy()
+        blocks[:, Lp - SCRATCH_ROWS:] = 1e6  # garbage a gather can't miss
+        return blocks.reshape(arr.shape)
+
+    prev = m.params
+    poisoned = dict(prev)
+    poisoned["Wy"] = poison(prev["Wy"])
+    poisoned["Wx"] = [poison(prev["Wx"][0])] + list(prev["Wx"][1:])
+    m.params = poisoned
+    try:
+        rec_d, mrr_d = evaluate(m, test, items=items, cut_off=[1, 5],
+                                batch_size=8, mode="standard", mesh=mesh)
+    finally:
+        m.params = prev
+    np.testing.assert_allclose(rec_d, rec_ref, atol=1e-6)
+    np.testing.assert_allclose(mrr_d, mrr_ref, atol=1e-6)
+
+
 def test_distributed_tiebreaking_statistically_matches(eval_model):
     """'tiebreaking' draws different random dithers on the two paths (see
     evaluate() docstring: absolute post-activation vs relative pre-activation)
