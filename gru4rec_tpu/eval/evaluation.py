@@ -394,6 +394,114 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
     return jax.jit(body, donate_argnums=(1, 6, 7, 8))
 
 
+def make_dist_topk_fn(cfg: GRU4RecConfig, n_items: int, k: int, mesh,
+                      scratch_rows: int = 0):
+    """Multi-chip full-catalog top-k serving step (beyond the reference,
+    whose only serving API materializes the full items x events score frame
+    on one device, gru4rec.py:665-728): lanes shard over ``data``, the item
+    table rows over ``model`` — each shard scores and top-k's ONLY the rows
+    it owns, then the per-shard candidates (k ids + scores per shard, tiny)
+    are ``all_gather``-ed and re-top-k'd, so the full catalog never needs to
+    fit one chip and only (batch, k) crosses between shards.
+
+    Score parity with the single-chip :meth:`GRU4Rec.predict_topk`:
+
+    * ``softmax`` / ``softmax_logit`` final activations need a full-row
+      normalizer, which shard-local softmax cannot see — the forward runs
+      with a linear head and the exact normalizer is rebuilt from two scalar
+      collectives (``pmax`` of the row max, ``psum`` of the local exp-sums);
+    * every other final activation is elementwise and monotone, so it is
+      applied to the merged k candidate scores after selection — identical
+      ids and scores (activations that CREATE ties, e.g. relu clamping, may
+      order equal-score candidates differently than the single-chip path).
+
+    ``scratch_rows`` accepts the training shard layout exactly like
+    :func:`make_dist_eval_chunk_fn` (serving straight from a live sharded
+    train state).
+    """
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from gru4rec_tpu.ops.activations import get_activation
+    from gru4rec_tpu.parallel.mesh import param_pspecs
+
+    mode_in = gru.input_mode(cfg)
+    nm = mesh.shape["model"]
+    n_pad = gru.pad_items(n_items, cfg.item_pad_multiple)
+    if n_pad % nm:
+        raise ValueError(
+            f"padded item count {n_pad} must divide over model axis {nm}; "
+            f"adjust item_pad_multiple or the mesh shape"
+        )
+    # predict swaps softmax_logit for softmax (models/gru.py:253-255)
+    act_name = ("softmax" if cfg.final_act == "softmax_logit"
+                else cfg.final_act)
+    softmax_head = act_name == "softmax"
+    cfg = dataclasses.replace(cfg, final_act="linear")
+
+    def topk_body(params, H, in_idx):
+        rows_total = params["Wy"].shape[0]
+        rows_local = rows_total - scratch_rows
+        mi = jax.lax.axis_index("model")
+        r0 = mi * rows_local
+        col_ids = r0 + jnp.arange(rows_total)
+        col_valid = (jnp.arange(rows_total) < rows_local) & (col_ids < n_items)
+
+        def gather_rows(shard, idx):
+            # sentinel past the kernel-scratch rows (see make_dist_eval_chunk_fn)
+            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
+                            rows_total)
+            rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
+            return jax.lax.psum(rows, "model")
+
+        if mode_in == "constrained":
+            srows = {"WyS": gather_rows(params["Wy"], in_idx)}
+        elif mode_in == "embedding":
+            srows = {"E": gather_rows(params["E"], in_idx)}
+        else:
+            srows = {"Wx0": gather_rows(params["Wx"][0], in_idx)}
+        b = in_idx.shape[0]
+        H_new, s = gru.forward(
+            params, srows, list(H), cfg, M=b, training=False,
+            full_catalog=True, item_valid=col_valid,
+        )
+        s = jnp.where(col_valid, s, -jnp.inf)
+        if softmax_head:
+            m = jax.lax.pmax(jnp.max(s, axis=1), "model")
+            z = jax.lax.psum(
+                jnp.sum(jnp.where(col_valid, jnp.exp(s - m[:, None]), 0.0),
+                        axis=1),
+                "model")
+        kk = min(k, rows_total)
+        sc_l, idx_l = jax.lax.top_k(s, kk)
+        ids_l = r0 + idx_l
+        sc_g = jnp.moveaxis(jax.lax.all_gather(sc_l, "model"), 0, 1)
+        ids_g = jnp.moveaxis(jax.lax.all_gather(ids_l, "model"), 0, 1)
+        sc, pos = jax.lax.top_k(sc_g.reshape(b, nm * kk), k)
+        ids = jnp.take_along_axis(ids_g.reshape(b, nm * kk), pos, axis=1)
+        if softmax_head:
+            sc = jnp.exp(sc - m[:, None]) / z[:, None]
+        else:
+            sc = get_activation(act_name)(sc)
+        return tuple(H_new), ids, sc
+
+    h_spec = tuple(P("data", None) for _ in cfg.layers)
+    pspec = param_pspecs(
+        {"Wx": [None] * len(cfg.layers), "Wh": [None] * len(cfg.layers),
+         "Wrz": [None] * len(cfg.layers), "Bh": [None] * len(cfg.layers),
+         "Wy": None, **({"E": None} if mode_in == "embedding" else {})},
+        mode_in,
+    )
+    in_specs = (pspec, h_spec, P("data"))
+    out_specs = (h_spec, P("data", None), P("data", None))
+    # no donation: self.H is shared with the single-chip predict path, which
+    # must stay readable if the caller mixes mesh and non-mesh calls
+    body = jax.shard_map(topk_body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    return jax.jit(body)
+
+
 def evaluate(gru_model, test_data, items=None, session_key="SessionId",
              item_key="ItemId", time_key="Time", cut_off=[20], batch_size=100,
              mode="standard", mesh=None):

@@ -119,6 +119,7 @@ class GRU4Rec:
         self._current_session = None
         self._topk_fn = None
         self._topk_k = None
+        self._dist_topk = None
 
     # Convenience passthroughs for reference-style attribute access.
     def set_params(self, **kwargs):
@@ -182,6 +183,7 @@ class GRU4Rec:
         cfg = self.config
         self._predict_fn = None
         self._topk_fn = None
+        self._dist_topk = None
         self.error_during_train = False
         self.epoch_stats = []  # per-epoch {loss, seconds, steps, events}
         self.valid_stats = []  # per-eval {epoch, recall, mrr}
@@ -603,7 +605,7 @@ class GRU4Rec:
         return pd.DataFrame(data=np.asarray(preds).T, index=self.itemidmap.index)
 
     def predict_topk(self, session_ids, input_item_ids, k: int = 20,
-                     batch: int = 100):
+                     batch: int = 100, mesh=None):
         """Serving-oriented top-k recommendation (beyond the reference, whose
         only serving API materializes the full items x events score frame):
         the top-k selection runs on device (``lax.top_k`` over the catalog
@@ -613,10 +615,20 @@ class GRU4Rec:
         hidden state per lane, reset on session change — the two methods
         share the lane state). Returns ``(items, scores)``: an object array
         (batch, k) of raw item IDs, best first, and a float array (batch, k).
+
+        ``mesh`` (a ``jax.sharding.Mesh`` with ``data``/``model`` axes)
+        serves multi-chip: lanes shard over ``data``, catalog rows over
+        ``model``, per-shard top-k candidates merged with one tiny
+        ``all_gather`` — the item table never needs to fit one chip (see
+        eval/evaluation.py::make_dist_topk_fn). Accepts both the canonical
+        layout and a live sharded training-layout state.
         """
         if self.error_during_train:
             raise Exception("Training ended with an error; model is unusable.")
         k = min(int(k), self.n_items)
+        if mesh is not None:
+            return self._predict_topk_dist(session_ids, input_item_ids, k,
+                                           batch, mesh)
         if self._topk_fn is None or self._topk_k != k or self._predict_batch != batch:
             base = self._build_predict_fn(subset=False)
 
@@ -650,6 +662,73 @@ class GRU4Rec:
         vocab = np.asarray(self.itemidmap.index.values, dtype=object)
         item_ids = vocab[np.asarray(idx)]
         return item_ids, np.asarray(scores)
+
+    def _predict_topk_dist(self, session_ids, input_item_ids, k, batch, mesh):
+        """Mesh-sharded :meth:`predict_topk` (k already clamped by the
+        caller). Shares the host-side lane state (``self.H``,
+        ``self._current_session``) with the single-chip predict paths."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gru4rec_tpu.eval.evaluation import make_dist_topk_fn
+        from gru4rec_tpu.parallel.dist_step import SCRATCH_ROWS
+        from gru4rec_tpu.parallel.mesh import param_pspecs
+
+        cfg = self.config
+        nd = mesh.shape["data"]
+        if batch % nd:
+            raise ValueError(
+                f"batch {batch} must divide over data axis {nd}")
+        nm = mesh.shape["model"]
+        n_pad = gru.pad_items(self.n_items, cfg.item_pad_multiple)
+        wy_rows = int(self.params["Wy"].shape[0])
+        if wy_rows == n_pad + SCRATCH_ROWS * nm:
+            scratch = SCRATCH_ROWS
+        elif wy_rows == n_pad:
+            scratch = 0
+        else:
+            raise ValueError(
+                f"Wy has {wy_rows} rows; expected {n_pad} (canonical) or "
+                f"{n_pad + SCRATCH_ROWS * nm} (training shard layout)"
+            )
+        key = (id(mesh), int(k), int(batch), scratch)
+        put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        cache = self._dist_topk
+        if cache is None or cache["key"] != key:
+            cache = {
+                "key": key,
+                "fn": make_dist_topk_fn(cfg, self.n_items, k, mesh,
+                                        scratch_rows=scratch),
+                "params_src": None, "params": None,
+            }
+            self._dist_topk = cache
+        if cache["params_src"] is not self.params:
+            # place (or re-place after a params swap) once, reuse per call;
+            # a no-op when the params are already sharded this way (the live
+            # train state)
+            pspec = param_pspecs(dict(self.params), gru.input_mode(cfg))
+            cache["params"] = jax.tree_util.tree_map(
+                put, dict(self.params), pspec)
+            cache["params_src"] = self.params
+        if self.H is None or self._predict_batch != batch:
+            self.H = tuple(gru.init_hidden(cfg, batch))
+            self._current_session = np.ones(batch) * -1
+            self._predict_batch = batch
+            self._predict_fn = None  # single-chip fns are per-batch anyway
+            self._topk_fn = None
+
+        session_ids = np.asarray(session_ids)
+        changed = session_ids != self._current_session
+        if changed.any():
+            mask = jnp.asarray(~changed)[:, None]
+            self.H = tuple(h * mask for h in self.H)
+            self._current_session = session_ids.copy()
+
+        in_idx = self.itemidmap[input_item_ids].values.astype(np.int32)
+        H = tuple(put(h, P("data", None)) for h in self.H)
+        self.H, ids, scores = cache["fn"](
+            cache["params"], H, put(in_idx, P("data")))
+        vocab = np.asarray(self.itemidmap.index.values, dtype=object)
+        return vocab[np.asarray(ids)], np.asarray(scores)
 
     # ------------------------------------------------------------------ #
     def savemodel(self, fname: str, include_optimizer: bool = False):

@@ -378,6 +378,101 @@ def test_distributed_subset_eval_ignores_poisoned_scratch_rows(eval_model):
     np.testing.assert_allclose(mrr_d, mrr_ref, atol=1e-6)
 
 
+def _reset_predict_state(m):
+    m.H = None
+    m._predict_fn = None
+    m._predict_batch = None
+    m._topk_fn = None
+    m._current_session = None
+
+
+def test_distributed_predict_topk_matches_single_chip(eval_model):
+    """predict_topk(mesh=...) — per-shard top-k over owned catalog rows,
+    candidates merged by one all_gather — must reproduce the single-chip ids
+    and scores, including hidden-state carry-over and session resets across
+    calls (elementwise final activation: applied post-merge)."""
+    m, _ = eval_model
+    mesh = make_mesh(2, 4)
+    sess1 = np.array([1, 1, 2, 2, 3, 3, 4, 4])
+    sess2 = np.array([1, 1, 9, 2, 3, 3, 4, 8])  # two lanes switch sessions
+    in1 = np.array([f"it{i}" for i in [3, 7, 1, 0, 11, 5, 2, 9]], object)
+    in2 = np.array([f"it{i}" for i in [4, 8, 2, 1, 12, 6, 3, 10]], object)
+
+    _reset_predict_state(m)
+    ids_a1, sc_a1 = m.predict_topk(sess1, in1, k=7, batch=8)
+    ids_a2, sc_a2 = m.predict_topk(sess2, in2, k=7, batch=8)
+    _reset_predict_state(m)
+    ids_b1, sc_b1 = m.predict_topk(sess1, in1, k=7, batch=8, mesh=mesh)
+    ids_b2, sc_b2 = m.predict_topk(sess2, in2, k=7, batch=8, mesh=mesh)
+    _reset_predict_state(m)
+
+    assert (ids_b1 == ids_a1).all() and (ids_b2 == ids_a2).all()
+    np.testing.assert_allclose(sc_b1, sc_a1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sc_b2, sc_a2, rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_predict_topk_softmax_and_scratch_layout(eval_model):
+    """Softmax head: the dist path rebuilds the exact full-catalog normalizer
+    from pmax/psum collectives. Also: serving straight from a training-layout
+    state (poisoned per-shard scratch rows) must match the canonical one."""
+    import dataclasses
+
+    import pandas as pd
+
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+    from gru4rec_tpu.parallel.dist_step import SCRATCH_ROWS, _expand_scratch
+
+    rng = np.random.RandomState(11)
+    rows, t = [], 0
+    for s in range(120):
+        i = rng.randint(40)
+        for _ in range(rng.randint(3, 7)):
+            rows.append((s, f"it{i}", t)); t += 1; i = (11 * i + 5) % 40
+    data = pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+    m = GRU4Rec(GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[16], batch_size=8,
+        n_sample=16, n_epochs=2, chunk_size=32, item_pad_multiple=32,
+        compute_dtype="float32",
+    ))
+    m.fit(data)
+
+    mesh = make_mesh(2, 4)
+    nm = mesh.shape["model"]
+    sess = np.arange(8)
+    inp = np.array([f"it{i}" for i in range(8)], object)
+    ids_s, sc_s = m.predict_topk(sess, inp, k=5, batch=8)
+    assert np.all(sc_s <= 1.0) and np.all(sc_s > 0)  # softmax probabilities
+
+    _reset_predict_state(m)
+    ids_d, sc_d = m.predict_topk(sess, inp, k=5, batch=8, mesh=mesh)
+    assert (ids_d == ids_s).all()
+    np.testing.assert_allclose(sc_d, sc_s, rtol=1e-5, atol=1e-7)
+
+    # training shard layout: expand + poison scratch rows, serve from it
+    def poison(arr):
+        arr = np.asarray(_expand_scratch(np.asarray(arr), nm))
+        Lp = arr.shape[0] // nm
+        blocks = arr.reshape((nm, Lp) + arr.shape[1:]).copy()
+        blocks[:, Lp - SCRATCH_ROWS:] = 1e6
+        return blocks.reshape(arr.shape)
+
+    prev = m.params
+    poisoned = dict(prev)
+    poisoned["Wy"] = poison(prev["Wy"])
+    poisoned["Wx"] = [poison(prev["Wx"][0])] + list(prev["Wx"][1:])
+    m.params = poisoned
+    _reset_predict_state(m)
+    m._dist_topk = None
+    try:
+        ids_p, sc_p = m.predict_topk(sess, inp, k=5, batch=8, mesh=mesh)
+    finally:
+        m.params = prev
+        m._dist_topk = None
+        _reset_predict_state(m)
+    assert (ids_p == ids_s).all()
+    np.testing.assert_allclose(sc_p, sc_s, rtol=1e-5, atol=1e-7)
+
+
 def test_distributed_tiebreaking_statistically_matches(eval_model):
     """'tiebreaking' draws different random dithers on the two paths (see
     evaluate() docstring: absolute post-activation vs relative pre-activation)
