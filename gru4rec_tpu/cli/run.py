@@ -73,7 +73,32 @@ def build_parser() -> argparse.ArgumentParser:
                              "validation parameters are kept.")
     parser.add_argument("-vm", "--valid_cutoff", metavar="AT", type=int, default=20,
                         help="Cutoff for the validation metric (default 20).")
+    parser.add_argument("--mesh", metavar="DATAxMODEL", type=str, default=None,
+                        help="Run multi-chip over a (data, model) device mesh "
+                             "(beyond the reference): 'NDxNM' (e.g. 2x4 = lanes "
+                             "over 2 chips, item-table rows over 4) or 'auto' to "
+                             "factor all visible devices. Applies to training, "
+                             "in-fit validation, and evaluation; batch sizes "
+                             "must divide the data axis.")
     return parser
+
+
+def _parse_mesh(spec: str):
+    import jax
+
+    from gru4rec_tpu.parallel.mesh import factor_mesh, make_mesh
+
+    if spec.lower() == "auto":
+        nd, nm = factor_mesh(len(jax.devices()))
+    else:
+        try:
+            nd, nm = (int(p) for p in spec.lower().split("x"))
+        except ValueError:
+            raise SystemExit(
+                f"ERROR. --mesh must be 'NDxNM' (e.g. 2x4) or 'auto', got {spec!r}")
+    print(f"Device mesh: {nd} data x {nm} model "
+          f"({len(jax.devices())} visible devices)")
+    return make_mesh(nd, nm)
 
 
 def main(argv=None) -> int:
@@ -97,6 +122,8 @@ def main(argv=None) -> int:
     from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+
+    mesh = _parse_mesh(args.mesh) if args.mesh else None
 
     from collections import OrderedDict
 
@@ -139,7 +166,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         gru.fit(data, sample_store=args.sample_store_size,
                 store_type="cpu" if args.sample_store_on_cpu else "gpu",
-                **fit_kwargs)
+                mesh=mesh, **fit_kwargs)
         print("Total training time: {:.2f}s".format(time.time() - t0))
         if gru.error_during_train:
             print("ERROR: training diverged (NaN loss)")
@@ -160,6 +187,7 @@ def main(argv=None) -> int:
                 gru, test_data, batch_size=512, cut_off=args.measure,
                 mode=args.eval_type, item_key=args.item_key,
                 session_key=args.session_key, time_key=args.time_key,
+                mesh=mesh,
             )
             print("Evaluation took {:.2f}s".format(time.time() - t0))
             for i, c in enumerate(args.measure):

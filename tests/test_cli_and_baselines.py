@@ -74,6 +74,43 @@ def test_cli_load_model(tsv_files):
     assert "PRIMARY METRIC:" in res.stdout
 
 
+def test_cli_mesh_flag(tsv_files):
+    """--mesh NDxNM trains AND evaluates through the distributed paths (8
+    virtual CPU devices; metrics must match the single-device run of the
+    same seed/config)."""
+    import os
+    import subprocess
+
+    train_p, test_p, _ = tsv_files
+    ps = ("loss=cross-entropy,final_act=softmax,layers=24,batch_size=8,"
+          "n_sample=16,n_epochs=2,chunk_size=64,item_pad_multiple=32,"
+          "learning_rate=0.15,compute_dtype=float32")
+    env = {
+        **os.environ, "GRU4REC_TPU_TEST_PLATFORM": "cpu",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    }
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, "-m", "gru4rec_tpu.cli.run", train_p, "-ps", ps,
+             "-t", test_p, "-m", "4", "-pm", "recall", "-lpm", "-d", "cpu",
+             *extra],
+            capture_output=True, text=True, timeout=560, env=env)
+
+    res_m = run(["--mesh", "2x4"])
+    assert res_m.returncode == 0, res_m.stdout + res_m.stderr
+    assert "Device mesh: 2 data x 4 model" in res_m.stdout
+    res_s = run([])
+    assert res_s.returncode == 0, res_s.stdout + res_s.stderr
+
+    def pm(res):
+        return float([l for l in res.stdout.splitlines()
+                      if l.startswith("PRIMARY METRIC:")][0].split(":")[1])
+
+    assert abs(pm(res_m) - pm(res_s)) < 1e-6, (pm(res_m), pm(res_s))
+
+
 def test_load_data_accepts_joblib_pickles(tmp_path):
     """The reference dumps datasets with joblib (run.py:48); its archives are
     not plain pickles, and a user's existing .pickle files must still load."""
