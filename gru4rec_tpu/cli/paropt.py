@@ -86,6 +86,8 @@ def generate_command(args, optimized_param_str, measure, log_pm=True):
         "-pm", args.primary_metric, "-e", args.eval_type,
         "-ik", args.item_key, "-sk", args.session_key, "-tk", args.time_key,
     ]
+    if getattr(args, "mesh", None):
+        cmd += ["--mesh", args.mesh]
     if log_pm:
         cmd.append("-lpm")
     return cmd
@@ -132,6 +134,9 @@ def main(argv=None):
                              "equivalent of the reference's THEANO_FLAGS "
                              "passthrough, paropt.py:20,46 — e.g. "
                              "'JAX_PLATFORMS=cpu' or per-trial device pinning).")
+    parser.add_argument("--mesh", metavar="DATAxMODEL", type=str, default=None,
+                        help="Forwarded to every trial's run.py: train/evaluate "
+                             "over a (data, model) device mesh ('NDxNM' or 'auto').")
     parser.add_argument("-fp", "--fixed_parameters", metavar="PARAM_STRING", type=str, default="")
     parser.add_argument("-opf", "--optuna_parameter_file", metavar="PATH", type=str, required=True)
     parser.add_argument("-m", "--measure", metavar="AT", type=int, nargs="?", default=20)
