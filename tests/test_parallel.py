@@ -221,6 +221,36 @@ def test_infit_validation_under_mesh_matches_single_chip():
     )
 
 
+def test_retrain_extends_vocab_under_mesh():
+    """fit(retrain=True, mesh=...): vocabulary extension must re-shard the
+    grown canonical tables and keep training/evaluating multi-chip."""
+    import pandas as pd
+
+    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
+    from gru4rec_tpu.eval import evaluate
+
+    def mk(n_sessions, n_items, seed=0):
+        rng = np.random.RandomState(seed)
+        rows, t = [], 0
+        for s in range(n_sessions):
+            i = rng.randint(n_items)
+            for _ in range(rng.randint(3, 7)):
+                rows.append((s, f"it{i}", t)); t += 1; i = (7 * i + 3) % n_items
+        return pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
+
+    mesh = make_mesh(2, 4)
+    m = GRU4Rec(GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[16], batch_size=8,
+        n_sample=8, n_epochs=2, chunk_size=32, item_pad_multiple=32))
+    m.fit(mk(100, 20), mesh=mesh)
+    n0 = m.n_items
+    m.fit(mk(100, 30, seed=2), retrain=True, n_epochs=1, mesh=mesh)
+    assert m.n_items > n0
+    rec, _ = evaluate(m, mk(20, 30, seed=5), cut_off=[5], batch_size=8,
+                      mesh=mesh)
+    assert rec[0] > 0.5  # the chain is learnable; grown vocab must score
+
+
 def test_mesh_checkpoint_resume_roundtrip(tmp_path):
     """Checkpoints taken during mesh training store the canonical layout
     (per-shard kernel scratch rows stripped) and resume exactly — both on a
