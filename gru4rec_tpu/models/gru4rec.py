@@ -572,7 +572,12 @@ class GRU4Rec:
                            predict_for_item_ids=None, batch: int = 100):
         """Stateful batch prediction (reference: gru4rec.py:665-728): hidden
         state persists across calls per lane; lanes whose session ID changed
-        are reset. Returns a DataFrame of scores, items x events."""
+        are reset. Returns a DataFrame of scores, items x events.
+
+        Single-chip by design: materializing the full items x events frame
+        is inherently catalog-sized. For catalogs that do not fit one chip,
+        serve through :meth:`predict_topk` with ``mesh=`` (per-shard top-k,
+        only k ids + scores per lane cross between chips or to the host)."""
         if self.error_during_train:
             raise Exception("Training ended with an error; model is unusable.")
         subset = predict_for_item_ids is not None
