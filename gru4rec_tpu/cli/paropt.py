@@ -104,6 +104,17 @@ def trial_env(args):
     return env
 
 
+def scrape_primary_metric(line):
+    """The trial-stdout contract (reference paropt.py:52-56). Accepts any
+    float repr(): plain, scientific WITHOUT a decimal point ('5e-05' —
+    early-epoch recall on a huge catalog prints like that), inf/nan from a
+    degenerate run. Returns None when the line is not the metric line."""
+    m = re.match(
+        r"PRIMARY METRIC:\s*([-+]?[\d.]+(?:[eE][-+]?\d+)?|[-+]?(?:inf|nan))",
+        line)
+    return float(m.group(1)) if m else None
+
+
 def run_once(args, optimized_param_str):
     """Spawn one isolated trial; scrape PRIMARY METRIC from its stdout."""
     cmd = generate_command(args, optimized_param_str, args.measure)
@@ -113,9 +124,9 @@ def run_once(args, optimized_param_str):
     for line in proc.stdout:
         line = line.rstrip()
         print(line)
-        m = re.match(r"PRIMARY METRIC: (-*\d\.\d+e*-*\d*)", line)
-        if m:
-            val = float(m.group(1))
+        scraped = scrape_primary_metric(line)
+        if scraped is not None:
+            val = scraped
     proc.wait()
     if val is None:
         raise RuntimeError("trial produced no PRIMARY METRIC line")

@@ -146,7 +146,7 @@ def main(argv=None) -> int:
             print("Creating GRU4Rec model")
             gru = GRU4Rec()
             gru4rec_params = OrderedDict(
-                x.split("=", 1) for x in args.parameter_string.split(",")
+                x.split("=", 1) for x in args.parameter_string.split(",") if x
             )
             gru.set_params(**gru4rec_params)
         gru.config.session_key = args.session_key

@@ -533,6 +533,15 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
         ",".join(str(c) for c in cutoffs), ",".join(str(c) for c in cutoffs)))
 
     cfg = gru_model.config
+    if mesh is not None and batch_size % mesh.shape["data"]:
+        # metrics average per EVENT, so the lane count does not change them
+        # (only the session->lane packing) — round down rather than abort
+        # (e.g. the default 512 on a 3-wide data axis)
+        nd = mesh.shape["data"]
+        adj = max(nd, batch_size - batch_size % nd)
+        print(f"evaluate: batch_size {batch_size} -> {adj} "
+              f"(must divide the {nd}-wide data axis)")
+        batch_size = adj
     itemidmap = gru_model.itemidmap
     test_data = pd.merge(
         test_data,
@@ -629,6 +638,12 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
                 gru_model.params, H, *args, rec, mrr, n, key, step
             )
     n = float(n)
+    if n == 0:
+        raise ValueError(
+            "test set produced no evaluable events: every session has fewer "
+            "than two events after inner-joining items to the training "
+            "vocabulary"
+        )
     recall = [float(r) / n for r in rec]
     mrr_out = [float(m) / n for m in mrr]
     return recall, mrr_out
@@ -694,12 +709,21 @@ def evaluate_sessions_batch(pr, test_data, items=None, cut_off=20, batch_size=10
             else:
                 others = scores[valid_mask, :]
             if mode == "conservative":
-                ranks = (others >= tgt[:, None]).sum(axis=1)
+                ranks = (others >= tgt[:, None]).sum(axis=1).astype(float)
             elif mode == "median":
                 ranks = ((others > tgt[:, None]).sum(axis=1)
                          + 0.5 * ((others == tgt[:, None]).sum(axis=1) - 1) + 1)
             else:
                 ranks = (others > tgt[:, None]).sum(axis=1) + 1
+            if items is not None and mode in ("conservative", "median"):
+                # count the self-comparison exactly once when the target is
+                # outside the subset columns — same adjustment as the
+                # compiled evaluator (see make_eval_chunk_fn); without it
+                # 'conservative' yields rank 0 (inf MRR) whenever the target
+                # outscores the whole subset
+                in_sub = np.isin(out_ids, items)
+                ranks = ranks + np.where(
+                    in_sub, 0.0, 1.0 if mode == "conservative" else 0.5)
             ok = ranks <= cut_off
             recall += ok.sum()
             mrr += (1.0 / ranks * ok).sum()

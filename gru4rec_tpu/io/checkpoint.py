@@ -226,8 +226,51 @@ def load_model(fname: str, cls):
             data=archive["itemidmap/values"], index=archive["itemidmap/keys"],
             name="ItemIdx",
         )
-        h_keys = sorted(k for k in archive.files if k.startswith("state/H"))
-        if h_keys:
-            model.H = tuple(archive[k] for k in h_keys)
+        # numeric layer order: sorted() would put 'state/H10' before
+        # 'state/H2' for >=10-layer stacks
+        n_layers = len(cfg.layers)
+        if all(f"state/H{i}" in archive.files for i in range(n_layers)):
+            model.H = tuple(archive[f"state/H{i}"] for i in range(n_layers))
+        if any(k.startswith("opt/") for k in archive.files):
+            # savemodel(include_optimizer=True) archive: rebuild the train
+            # state so fit(retrain=True) continues with the REAL
+            # accumulators across the save/load boundary
+            from gru4rec_tpu.train.step import init_train_state
+
+            template = init_train_state(model.config, model.n_items,
+                                        jax.random.PRNGKey(cfg.seed))
+            tmpl_leaves, treedef = jax.tree_util.tree_flatten(
+                template.opt_state)
+            n_saved = len([k for k in archive.files if k.startswith("opt/")])
+            if n_saved != len(tmpl_leaves):
+                raise ValueError(
+                    f"model archive stores {n_saved} optimizer-state arrays "
+                    f"but the current optimizer layout has "
+                    f"{len(tmpl_leaves)} — incompatible version"
+                )
+            import jax.numpy as jnp
+
+            opt_leaves = []
+            for i, tmpl in enumerate(tmpl_leaves):
+                saved = _from_saved(
+                    archive[f"opt/{i}"], tmpl.dtype,
+                    saved_dtype=(str(archive[f"opt_dtype/{i}"])
+                                 if f"opt_dtype/{i}" in archive.files
+                                 else None),
+                )
+                if tuple(saved.shape) != tuple(tmpl.shape):
+                    raise ValueError(
+                        f"optimizer-state array opt/{i} has shape "
+                        f"{saved.shape}, expected {tmpl.shape} — "
+                        "incompatible version"
+                    )
+                opt_leaves.append(jnp.asarray(saved))
+            step = (jnp.asarray(archive["meta/opt_step"])
+                    if "meta/opt_step" in archive.files else template.step)
+            model._train_state = template._replace(
+                params=model.params,
+                opt_state=jax.tree_util.tree_unflatten(treedef, opt_leaves),
+                step=step,
+            )
         model.error_during_train = False
     return model

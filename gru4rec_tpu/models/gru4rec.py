@@ -242,10 +242,21 @@ class GRU4Rec:
         elif retrain:
             from gru4rec_tpu.train.step import TrainState
 
+            if self._train_state is not None:
+                prev = self._train_state
+            else:
+                # model restored via loadmodel() without optimizer entries:
+                # fresh accumulators over the existing weights (a warm
+                # restart; savemodel(include_optimizer=True) archives
+                # restore the real state instead, io/checkpoint.py)
+                print("retrain: no optimizer state on the model — "
+                      "reinitializing accumulators")
+                prev = init_train_state(cfg, self.n_items,
+                                        jax.random.PRNGKey(cfg.seed))
             state = TrainState(
-                self.params, self._train_state.opt_state,
+                self.params, prev.opt_state,
                 tuple(gru.init_hidden(cfg, cfg.batch_size)),
-                self._train_state.key, self._train_state.step,
+                prev.key, prev.step,
             )
         else:
             key = jax.random.PRNGKey(cfg.seed)
@@ -260,6 +271,11 @@ class GRU4Rec:
             dist_fn = make_dist_chunk_fn(cfg, self.n_items, mesh)
             sched_shard = NamedSharding(mesh, P(None, "data"))
             repl = NamedSharding(mesh, P(None))
+            # loop-invariant inputs replicate ONCE, not per chunk (the alias
+            # table is ~MBs at Rees46 scale x ~183 chunks/epoch otherwise)
+            samp1 = jax.device_put(samp1, repl)
+            samp2 = jax.device_put(samp2, repl)
+            logp0 = jax.device_put(logp0, repl)
 
             def chunk_fn(state, in_c, out_c, valid_c, reset_c, samp1, samp2, logp0):
                 out = dist_fn(
@@ -268,8 +284,7 @@ class GRU4Rec:
                     jax.device_put(out_c, sched_shard),
                     jax.device_put(valid_c, sched_shard),
                     jax.device_put(reset_c, sched_shard),
-                    jax.device_put(samp1, repl), jax.device_put(samp2, repl),
-                    jax.device_put(logp0, repl),
+                    samp1, samp2, logp0,
                 )
                 from gru4rec_tpu.train.step import TrainState
 
@@ -581,16 +596,23 @@ class GRU4Rec:
         if self.error_during_train:
             raise Exception("Training ended with an error; model is unusable.")
         subset = predict_for_item_ids is not None
+        n_sub = len(predict_for_item_ids) if subset else None
         if (
             self._predict_fn is None
-            or self._predict_batch != batch
-            or self._predict_n_items != (len(predict_for_item_ids) if subset else None)
+            or (self._predict_n_items is None) != (n_sub is None)
         ):
+            # full<->subset flips change the call arity; a DIFFERENT subset
+            # length merely retraces the jitted fn (shape-polymorphic)
             self._predict_fn = self._build_predict_fn(subset)
-            self._predict_batch = batch
-            self._predict_n_items = len(predict_for_item_ids) if subset else None
+        if self._predict_batch != batch or self._current_session is None:
+            # ONLY a lane-width change resets the persistent lane state
+            # (reference: recompile+reset on batch change, gru4rec.py:691-711
+            # — NOT on a changed predict_for_item_ids, which
+            # evaluate_sessions_batch varies every step mid-session)
             self.H = tuple(gru.init_hidden(self.config, batch))
             self._current_session = np.ones(batch) * -1
+        self._predict_batch = batch
+        self._predict_n_items = n_sub
 
         session_ids = np.asarray(session_ids)
         changed = session_ids != self._current_session

@@ -159,7 +159,13 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
         diag_offset = di * B_local
 
         def gather_rows(shard, idx):
-            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0, rows_local)
+            # non-owned sentinel must be PAST the scratch rows: rows_local
+            # itself addresses the first kernel-scratch row, which mode="fill"
+            # would then happily return instead of zeroing (scratch rows are
+            # zero by kernel invariant today, but nothing should depend on it
+            # — same hardening as the eval/serving gathers)
+            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
+                            shard.shape[0])
             rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
             return jax.lax.psum(rows, "model")
 

@@ -4,6 +4,7 @@ legacy batch evaluator, and JSONL logging."""
 import json
 import os
 
+import jax
 import numpy as np
 import pandas as pd
 import pytest
@@ -135,6 +136,99 @@ def test_retrain_extends_vocab(tmp_path):
                                                   list(pd.unique(data.ItemId.map(lambda s: int(s[2:]))))]
     rec, _ = evaluate(m, markov_data(n_items=30, seed=9), cut_off=[5], batch_size=8)
     assert rec[0] > 0.3
+
+
+def test_retrain_after_loadmodel(tmp_path):
+    """fit(retrain=True) across a save/load boundary (review regression:
+    _train_state is None after loadmodel, used to AttributeError). Without
+    optimizer entries the accumulators warm-restart; with
+    include_optimizer=True they continue EXACTLY."""
+    data = markov_data(n_items=20)
+    m = GRU4Rec(small_cfg(n_epochs=2, adapt="adagrad"))
+    m.fit(data)
+    p_bare = str(tmp_path / "bare.npz")
+    p_opt = str(tmp_path / "opt.npz")
+    m.savemodel(p_bare)
+    m.savemodel(p_opt, include_optimizer=True)
+
+    data2 = markov_data(n_items=30, seed=5)
+    m2 = GRU4Rec.loadmodel(p_bare)
+    assert m2._train_state is None
+    m2.fit(data2, retrain=True, n_epochs=1)  # warm restart, must not crash
+    assert m2.n_items == 30
+
+    m3 = GRU4Rec.loadmodel(p_opt)
+    # the archived accumulators came back exactly
+    assert m3._train_state is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m._train_state.opt_state),
+        jax.tree_util.tree_leaves(m3._train_state.opt_state),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a).astype(np.float32), np.asarray(b).astype(np.float32))
+    m3.fit(data2, retrain=True, n_epochs=1)
+    assert m3.n_items == 30
+    rec, _ = evaluate(m3, markov_data(n_items=30, seed=9), cut_off=[5],
+                      batch_size=8)
+    assert rec[0] > 0.3
+
+
+def test_predict_state_survives_subset_length_changes():
+    """predict_next_batch must keep the persistent hidden state when only
+    predict_for_item_ids changes between calls (review regression: it used
+    to re-zero H per call, which evaluate_sessions_batch's varying
+    items+targets list triggers every step)."""
+    data = markov_data(n_items=20)
+    # elementwise final act: subset scores equal the full-catalog scores at
+    # those items (softmax renormalizes over the subset, which would differ)
+    m = GRU4Rec(small_cfg(n_epochs=2, loss="bpr-max", final_act="elu-1"))
+    m.fit(data)
+    vocab = list(m.itemidmap.index)
+    sess = np.zeros(4)
+    in1 = np.array([vocab[0]] * 4, object)
+    in2 = np.array([vocab[1]] * 4, object)
+
+    # reference run: full-catalog calls carry H across steps
+    m.H = None; m._predict_fn = None; m._predict_batch = None
+    m.predict_next_batch(sess, in1, None, batch=4)
+    full2 = m.predict_next_batch(sess, in2, None, batch=4)
+
+    # subset calls with DIFFERENT lengths must carry the same H
+    m.H = None; m._predict_fn = None; m._predict_batch = None
+    m.predict_next_batch(sess, in1, vocab[:7], batch=4)
+    sub2 = m.predict_next_batch(sess, in2, vocab[:12], batch=4)
+    np.testing.assert_allclose(
+        sub2.values, full2.loc[sub2.index].values, rtol=1e-5, atol=1e-6)
+
+
+def test_legacy_evaluator_subset_conservative_finite():
+    """Legacy evaluator with an item subset in conservative/median modes:
+    the self-comparison is counted exactly once like the compiled evaluator
+    (review regression: a target outside the subset that outscored every
+    subset item got rank 0 -> inf MRR)."""
+    data = markov_data(n_items=20)
+    m = GRU4Rec(small_cfg(n_epochs=3))
+    m.fit(data)
+    test = markov_data(n_sessions=40, n_items=20, seed=7)
+    items = list(m.itemidmap.index[:6])  # strict subset: targets often outside
+    for mode in ("conservative", "median"):
+        r_leg, m_leg = evaluate_sessions_batch(
+            m, test, items=items, cut_off=5, batch_size=8, mode=mode)
+        assert np.isfinite(m_leg), mode
+        r_cmp, m_cmp = evaluate(m, test, items=items, cut_off=[5],
+                                batch_size=8, mode=mode)
+        assert abs(r_leg - r_cmp[0]) < 1e-6, mode
+        assert abs(m_leg - m_cmp[0]) < 1e-6, mode
+
+
+def test_paropt_metric_scrape_accepts_all_float_reprs():
+    from gru4rec_tpu.cli.paropt import scrape_primary_metric
+
+    assert scrape_primary_metric("PRIMARY METRIC: 0.753214") == 0.753214
+    assert scrape_primary_metric("PRIMARY METRIC: 5e-05") == 5e-05
+    assert scrape_primary_metric("PRIMARY METRIC: -1.2e-3") == -1.2e-3
+    assert scrape_primary_metric("PRIMARY METRIC: 1.0") == 1.0
+    assert scrape_primary_metric("Recall@5: 0.5") is None
 
 
 def test_legacy_batch_evaluator_agrees(tmp_path):
