@@ -27,6 +27,15 @@ int64_t g4r_build_schedule(
     int emit,
     int32_t* in_idx, int32_t* out_idx, uint8_t* valid, uint8_t* reset) {
   if (batch_size <= 0 || n_sessions < 0 || n_events < 0) return -1;
+  // validate the index structure up front: the NumPy fallback raises
+  // IndexError on these, and native out-of-bounds reads would instead
+  // produce a silently garbage schedule (or a segfault)
+  for (int64_t s = 0; s < n_sessions; ++s) {
+    if (offsets[s] > offsets[s + 1]) return -1;  // non-monotonic
+    if (order[s] < 0 || order[s] >= n_sessions) return -1;
+  }
+  if (n_sessions > 0 &&
+      (offsets[0] < 0 || offsets[n_sessions] > n_events)) return -1;
 
   const int64_t n_init = batch_size < n_sessions ? batch_size : n_sessions;
   std::vector<int64_t> lanes, slots, start, end;

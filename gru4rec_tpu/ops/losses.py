@@ -110,6 +110,15 @@ def get_loss(loss: str, n_sample: int, smoothing: float = 0.0, bpreg: float = 1.
     if loss == "top1":
 
         def top1(yhat, M, row_valid, col_valid, diag_offset=0):
+            # DELIBERATE DIVERGENCE from the reference (gru4rec.py:242-244):
+            # there, the (M,)-shaped row means minus the broadcastable
+            # (M,1) self-penalty broadcast to an (M,M) matrix before T.sum,
+            # silently multiplying the whole top1 cost AND its gradients by
+            # M — a broadcasting accident, not the published TOP1 loss.
+            # This is the intended 1-D form (paper eq. per-sample mean);
+            # tests/test_losses.py pins the exact xM relationship. To
+            # replicate a reference-tuned top1 run, scale learning_rate by
+            # ~batch_size.
             yhat, mask2d = _sanitize(yhat, row_valid, col_valid)
             d = _diag(yhat, diag_offset)[:, None]
             n_cols = M + n_sample  # valid column count (traced scalar)

@@ -17,7 +17,14 @@ documented divergences):
   reference's post-step ``switch(R, 0, h)`` (proven separately by
   tests/test_scheduler.py's loop transcription).
 * Losses transcribe gru4rec.py:225-248 exactly (diag trick, smoothing over
-  M + n_sample outputs, bpreg, top1's mean over M + n_sample columns).
+  M + n_sample outputs, bpreg, top1's mean over M + n_sample columns) —
+  with ONE deliberate divergence shared with the repo: the reference's top1
+  subtracts a broadcastable (M,1) self-penalty from the (M,) row means,
+  which Theano broadcasts to (M,M) before T.sum, multiplying the whole
+  top1 cost and its gradients by M (a broadcasting accident, see
+  ops/losses.py). The oracle and the repo both use the intended 1-D form;
+  tests/test_losses.py::test_top1_reference_broadcast_relationship pins
+  the exact xM relationship to the reference's expression.
 * Dead lanes: the reference physically shrinks the batch; the oracle computes
   on the compacted valid-lane matrix (true reference semantics) while the
   framework masks static lanes — the loss is still divided by the STATIC
@@ -156,6 +163,15 @@ class ReferenceStepOracle:
 
     def __init__(self, params, cfg, n_items, logp0=None,
                  adam_variant="textbook"):
+        if cfg.dropout_p_hidden or cfg.dropout_p_embed:
+            # the reference applies dropout inside the compiled step
+            # (gru4rec.py:443,451,464,477); this oracle does not model the
+            # masks, so nonzero dropout would fail parity with an opaque
+            # numeric mismatch — fail loudly at the source instead
+            raise ValueError(
+                "ReferenceStepOracle does not model dropout; build the "
+                "oracle with dropout_p_hidden=dropout_p_embed=0"
+            )
         as64 = lambda a: np.array(a, dtype=np.float64)
         self.mode = ("constrained" if cfg.constrained_embedding
                      else "embedding" if cfg.embedding else "onehot")

@@ -122,3 +122,25 @@ def test_masked_softmax_matches_compact():
     compact = np.asarray(masked_softmax(jnp.asarray(scores[:, col_valid]), None))
     np.testing.assert_allclose(full[:, col_valid], compact, rtol=1e-5)
     assert np.all(full[:, ~col_valid] == 0)
+
+
+def test_top1_reference_broadcast_relationship():
+    """Pin the ONE deliberate loss divergence (ops/losses.py top1 note): the
+    reference's top1 subtracts a broadcastable (M,1) self-penalty from the
+    (M,) row means, broadcasting to (M,M) before the final sum — exactly M
+    times the intended 1-D form this repo (and the oracle) implement."""
+    rng = np.random.RandomState(5)
+    M, n_sample = 6, 10
+    yhat = np_sigmoid(rng.randn(M, M + n_sample))
+    d = np.diag(yhat)
+    means = np.mean(np_sigmoid(-d[:, None] + yhat) + np_sigmoid(yhat**2), axis=1)
+    penalty = np_sigmoid(d**2) / (M + n_sample)
+    # reference expression: (M,) minus broadcastable (M,1) -> (M,M) sum
+    ref_broadcast = np.sum(means[None, :] - penalty[:, None])
+    ours = float(
+        get_loss("top1", n_sample, 0.0, 1.0)(
+            jnp.asarray(yhat, jnp.float32), jnp.float32(M),
+            jnp.ones(M, bool), jnp.ones(M + n_sample, bool),
+        )
+    )
+    np.testing.assert_allclose(ref_broadcast, M * ours, rtol=1e-5)
