@@ -78,7 +78,12 @@ class GRU4RecConfig:
     # in the parameter dtype because their per-step relative change is
     # below bfloat16's rounding threshold and they would silently freeze
     # (train/optimizers.py::Optimizer._ema_dtype). Set to "float32" to
-    # disable narrow storage entirely.
+    # disable narrow storage entirely, or to "bfloat16_sr" to narrow EVEN
+    # the freeze-prone slots (adagrad's accumulator, adam's second moment)
+    # with STOCHASTIC ROUNDING keeping them unbiased (ops/sr.py) — halves
+    # the fused kernel's dominant state-DMA bytes on large catalogs; state
+    # gains ~0.4%-scale rounding noise (opt-in; recommended with
+    # adapt=adam/adagrad at >=64MB tables, see PERF_NOTES.md).
     opt_state_dtype: str = "bfloat16"
     item_pad_multiple: int = 128  # pad item tables to a multiple of this many rows (MXU tiling)
     sampler: str = "alias"        # negative sampler: "alias" (O(1)/sample) or "searchsorted" (reference scheme)
@@ -100,6 +105,10 @@ class GRU4RecConfig:
             # reference: gru4rec.py:363-365 forces lr to 1.0 under adadelta
             print("Warn: learning_rate is not 1.0 while using adadelta. Setting learning_rate to 1.0")
             self.learning_rate = 1.0
+        if self.opt_state_dtype not in ("float32", "bfloat16", "bfloat16_sr"):
+            raise NotImplementedError(
+                f"Unknown opt_state_dtype: {self.opt_state_dtype!r} "
+                "(float32 | bfloat16 | bfloat16_sr)")
 
     # ------------------------------------------------------------------ #
     def set_params(self, **kwargs) -> "GRU4RecConfig":

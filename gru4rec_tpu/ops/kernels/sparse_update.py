@@ -57,6 +57,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gru4rec_tpu.ops.sr import (limbs_decode, limbs_encode, sr_bits16,
+                                sr_round_bf16)
+
 EPSILON = 1e-6  # keep in sync with train/optimizers.py
 PALLAS_MIN_ROWS = 98304  # below this, XLA's in-place scatters win (v5e)
 
@@ -411,7 +414,8 @@ def _fused_update(adapt, table, acc, vel, gblk, mask, gpad, *, lr, momentum,
 
 
 def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
-                     *, lr, momentum, lmbd, v1, v2, interpret, gstart=None):
+                     *, lr, momentum, lmbd, v1, v2, interpret, gstart=None,
+                     sr_seed=None):
     """v3: manual-DMA software pipeline over ONLY the real groups.
 
     With ``gstart`` (v4, "compact" mode): ``gpad`` is instead the COMPACT
@@ -471,6 +475,18 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
     ds = acc.shape[1]
     assert ds == (2 * d + 128 if is_adam else 2 * d if merged else d), (
         adapt, acc.shape, table.shape)
+    # stochastic-rounding state layout (ops/sr.py): bf16 storage for
+    # adagrad's acc / adam's merged buffer, SR on the slow slot, adam count
+    # as base-256 limbs in the count block's first three lanes
+    sr = sr_seed is not None
+    if sr:
+        assert adapt in ("adagrad", "adam"), adapt
+        assert acc.dtype == jnp.bfloat16, acc.dtype
+        # [seed, global-row-offset]: the dither hashes GLOBAL (row, col)
+        # cells so a row-sharded run rounds bit-identically to single-chip
+        sr_seed = jnp.reshape(sr_seed, (-1,)).astype(jnp.int32)
+        if sr_seed.shape[0] == 1:
+            sr_seed = jnp.concatenate([sr_seed, jnp.zeros((1,), jnp.int32)])
     needs_mask = has_momentum or lmbd > 0 or adapt != "adagrad"
     acc_dtype = acc.dtype
     vel_dtype = vel.dtype if has_momentum else None
@@ -482,6 +498,7 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
     def kernel(gblk_ref, mask_ref, nreal_ref, *refs):
         refs = list(refs)
         gstart_ref = refs.pop(0) if compact else None
+        seed_ref = refs.pop(0) if sr else None
         t_hbm = refs.pop(0)
         a_hbm = refs.pop(0)
         v_hbm = refs.pop(0) if has_momentum else None
@@ -586,10 +603,20 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
             else:
                 g = gin[slot]
             t_old = tin[slot].astype(jnp.float32)
+            if sr:
+                # dither bits keyed on (seed, absolute table row, column):
+                # the XLA path hashes the same triples, so SR state stays
+                # bit-identical across paths. Rows whose f32 value is
+                # already bf16-representable (all non-member lanes: g = 0)
+                # round EXACTLY for every dither value.
+                rowv = seed_ref[1] + gblk_ref[j] * 8 + jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 1), 0)
+                dbits = sr_bits16(seed_ref[0], rowv, d)
             if adapt == "adagrad":
-                acc_new = ain[slot] + g * g
+                acc_new = (ain[slot].astype(jnp.float32) if sr
+                           else ain[slot]) + g * g
                 gs = g / jnp.sqrt(acc_new + EPSILON)
-                aout[slot] = acc_new
+                aout[slot] = sr_round_bf16(acc_new, dbits) if sr else acc_new
             elif adapt == "rmsprop":
                 a_old = ain[slot].astype(jnp.float32)
                 acc_new = jnp.where(member, v1 * a_old + (1.0 - v1) * g * g,
@@ -616,19 +643,41 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                 m_new = jnp.where(member, v1 * m_old + (1.0 - v1) * g, m_old)
                 # the per-row step count rides the state block: increment
                 # member rows, derive the bias corrections in-register
-                # (non-member lanes keep corr = 1, an inf/NaN-free dummy)
-                cnt_new = jnp.where(member, cntb[:, :1] + 1.0, cntb[:, :1])
+                # (non-member lanes keep corr = 1, an inf/NaN-free dummy).
+                # SR layout stores it as base-256 limbs in lanes 0..2 (bf16
+                # holds integers exactly only to 256; the limbs' exact
+                # range 2^24 equals a single f32 count's — ops/sr.py)
+                if sr:
+                    cnt_old = limbs_decode(cntb[:, :1], cntb[:, 1:2],
+                                           cntb[:, 2:3])
+                else:
+                    cnt_old = cntb[:, :1]
+                cnt_new = jnp.where(member, cnt_old + 1.0, cnt_old)
                 one = jnp.ones_like(cnt_new)
                 c1 = (jnp.where(member, _neg_expm1(cnt_new * ln_v1), 1.0)
                       if ln_v1 is not None else one)
                 c2 = (jnp.where(member, _neg_expm1(cnt_new * ln_v2), 1.0)
                       if ln_v2 is not None else one)
                 gs = (m_new / c1) / (jnp.sqrt(acc_new / c2) + EPSILON)
-                # count fills ALL 128 lanes (aligned broadcast, no
-                # cross-tile lane shifts -- see the v2 kernel note)
-                cntb_new = jnp.broadcast_to(cnt_new, (8, 128))
-                aout[slot] = jnp.concatenate([acc_new, m_new, cntb_new],
-                                             axis=1).astype(acc_dtype)
+                if sr:
+                    lo, mid, hi = limbs_encode(cnt_new)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                    cntb_new = jnp.where(
+                        lane == 0, lo, jnp.where(
+                            lane == 1, mid, jnp.where(lane == 2, hi, 0.0)))
+                    # slow second moment stored with SR (unbiased, no
+                    # freeze); the 0.9-decay meang and the exact-integer
+                    # limbs round-to-nearest exactly
+                    aout[slot] = jnp.concatenate(
+                        [sr_round_bf16(acc_new, dbits),
+                         m_new.astype(acc_dtype),
+                         cntb_new.astype(acc_dtype)], axis=1)
+                else:
+                    # count fills ALL 128 lanes (aligned broadcast, no
+                    # cross-tile lane shifts -- see the v2 kernel note)
+                    cntb_new = jnp.broadcast_to(cnt_new, (8, 128))
+                    aout[slot] = jnp.concatenate([acc_new, m_new, cntb_new],
+                                                 axis=1).astype(acc_dtype)
             if lmbd > 0:
                 delta = lr * (gs + lmbd * t_old)
             else:
@@ -681,8 +730,9 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
     out_shape = [jax.ShapeDtypeStruct(table.shape, table.dtype),
                  jax.ShapeDtypeStruct(acc.shape, acc.dtype)]
     out_specs = [any_spec, any_spec]
-    # aliases offset by the scalar-prefetch args (gblk, mask, nreal[, gstart])
-    n_pref = 4 if compact else 3
+    # aliases offset by the scalar-prefetch args
+    # (gblk, mask, nreal[, gstart][, sr_seed])
+    n_pref = (4 if compact else 3) + (1 if sr else 0)
     aliases = {n_pref: 0, n_pref + 1: 1}
     if has_momentum:
         out_shape.append(jax.ShapeDtypeStruct(vel.shape, vel.dtype))
@@ -706,7 +756,9 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
         num_scalar_prefetch=n_pref, grid=(1,), in_specs=in_specs,
         out_specs=out_specs, scratch_shapes=scratch,
     )
-    pref = (gblk, mask, nreal, gstart) if compact else (gblk, mask, nreal)
+    pref = (gblk, mask, nreal) + ((gstart,) if compact else ())
+    if sr:
+        pref = pref + (sr_seed,)
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases=aliases, interpret=interpret,
@@ -722,15 +774,18 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                                    "v2", "interpret"))
 def fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                     *, lr: float, momentum: float, lmbd: float,
-                    v1: float, v2: float, interpret: bool = False):
+                    v1: float, v2: float, interpret: bool = False,
+                    sr_seed=None):
     """``acc`` is the single state buffer: (n, d) for adagrad/rmsprop,
     merged (n, 2d) [acc | upd] for adadelta, (n, 2d + 128)
-    [acc | meang | count-column] for adam. Returns
+    [acc | meang | count-column] for adam. ``sr_seed`` (int32 scalar)
+    enables the bfloat16 stochastic-rounding state layout (ops/sr.py;
+    requires a bf16 ``acc`` and adapt adagrad/adam). Returns
     (table, state, velocity-or-None)."""
     return _fused_update_v3(
         adapt, table, acc, vel, gblk, mask, nreal, gpad,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
-        interpret=interpret,
+        interpret=interpret, sr_seed=sr_seed,
     )
 
 
@@ -738,14 +793,15 @@ def fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                                    "v2", "interpret"))
 def fused_update_v4(adapt, table, acc, vel, gblk, mask, gstart, nreal, gcomp,
                     *, lr: float, momentum: float, lmbd: float,
-                    v1: float, v2: float, interpret: bool = False):
+                    v1: float, v2: float, interpret: bool = False,
+                    sr_seed=None):
     """v4: the v3 pipeline fed COMPACT deduped gradients
     (:func:`group_pack_compact`) with in-kernel sublane alignment — no
     (8K, d) gpad staging buffer. Same state layout contract as v3."""
     return _fused_update_v3(
         adapt, table, acc, vel, gblk, mask, nreal, gcomp,
         lr=lr, momentum=momentum, lmbd=lmbd, v1=v1, v2=v2,
-        interpret=interpret, gstart=gstart,
+        interpret=interpret, gstart=gstart, sr_seed=sr_seed,
     )
 
 

@@ -319,9 +319,12 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
                 # the fused kernel is shard-safe: every local shard carries
                 # SCRATCH_ROWS trailing padding rows (shard_train_state), so
                 # the grouped kernel's all-padding dummy group exists locally
+                # base_key (replicated) + the shard's global row offset:
+                # stochastic rounding hashes global (row, col) cells, so the
+                # sharded run rounds bit-identically to the single-chip one
                 table, new_sparse_state[name] = opt.apply_sparse(
                     table, idx_l, g, opt_state["sparse"][name],
-                    allow_kernel=True,
+                    key=base_key, sr_row_offset=r0, allow_kernel=True,
                 )
                 if name == "Wx0":
                     new_params["Wx"] = [table] + list(new_params["Wx"][1:])

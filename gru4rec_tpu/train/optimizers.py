@@ -97,7 +97,13 @@ class Optimizer:
         self.momentum = cfg.momentum
         self.lmbd = cfg.lmbd
         self.grad_cap = cfg.grad_cap
-        self.sparse_state_dtype = jnp.dtype(cfg.opt_state_dtype)
+        # "bfloat16_sr" = bfloat16 storage EVERYWHERE the decay gate would
+        # otherwise force f32 (adagrad's monotone accumulator, adam's
+        # v2=0.999 second moment), kept unbiased by stochastic rounding
+        # (ops/sr.py) instead of freezing under round-to-nearest
+        self.state_sr = cfg.opt_state_dtype == "bfloat16_sr"
+        self.sparse_state_dtype = jnp.dtype(
+            jnp.bfloat16 if self.state_sr else cfg.opt_state_dtype)
         ap = cfg.adapt_params
         self.v1 = ap[0] if ap else 0.9
         self.v2 = ap[1] if len(ap) > 1 else 0.999
@@ -112,7 +118,11 @@ class Optimizer:
         silently FREEZES — e.g. adam's second moment at the default
         v2=0.999 (per-step change ~1e-3). Narrow storage is only allowed
         when the per-step change clears bf16's threshold with margin
-        (decay <= 0.99); slower EMAs stay in the parameter dtype.
+        (decay <= 0.99); slower EMAs stay in the parameter dtype. The
+        ``opt_state_dtype="bfloat16_sr"`` escape (stochastic rounding, no
+        freeze — ops/sr.py) is NOT granted here: it applies only to the
+        slots whose update paths actually implement SR, which init_state
+        narrows explicitly (adam's merged acc2, adagrad's acc).
         """
         if decay <= 0.99:
             return self.sparse_state_dtype
@@ -125,11 +135,15 @@ class Optimizer:
         # ``opt_state_dtype`` (see config.py); dense state stays float32.
         # Adagrad's accumulator is a MONOTONE sum — in a narrow dtype with
         # round-to-nearest, late g^2 increments would round away entirely and
-        # silently freeze the 1/sqrt(T) decay — so it always stays in the
-        # parameter dtype. (Stochastic rounding fixes the bias but was
-        # measured a net loss on v5e: the dither costs more than bf16
-        # scatters save, because the (16,128) bf16 tile doubles the
-        # sublane read-modify-write amplification of row scatters.)
+        # silently freeze the 1/sqrt(T) decay — so it stays in the
+        # parameter dtype by default. (Stochastic rounding fixes the bias
+        # but on the XLA-scatter path was measured a net loss on v5e: the
+        # dither costs more than bf16 scatters save, because the (16,128)
+        # bf16 tile doubles the sublane read-modify-write amplification of
+        # row scatters. The fused-KERNEL path has no such amplification —
+        # its manual 8-row DMAs move exactly the touched bytes — which is
+        # what the opt-in ``opt_state_dtype="bfloat16_sr"`` is for: SR-kept
+        # bf16 storage for this slot and adam's merged state, ops/sr.py.)
         # EMA-type state (rmsprop / adadelta / adam accumulators, momentum
         # velocity) is a contraction where nearest-rounding is noise — but
         # ONLY while the decay is fast enough that per-step changes survive
@@ -163,21 +177,28 @@ class Optimizer:
         two_slot = self.adapt in ("adam", "adadelta")
         merged = sparse and two_slot and param.ndim == 2
         st: Dict = {}
+        sr = self.state_sr and sparse and param.ndim == 2
         if self.adapt == "adagrad":
-            st["acc"] = zeros(param.dtype)
+            st["acc"] = zeros(jnp.bfloat16 if sr else param.dtype)
         elif self.adapt == "rmsprop":
             st["acc"] = zeros(ema(self.v1))
         elif merged and self.adapt == "adadelta":
             st["acc2"] = jnp.zeros((param.shape[0], 2 * param.shape[1]),
                                    dtype=ema(self.v1))
         elif merged:  # adam: [acc | meang | count-column block]
-            # ALWAYS f32: the count column stores integers, and bf16's
+            # f32 by default: the count column stores integers, and bf16's
             # 8 mantissa bits freeze any count at 256 (256 + 1 rounds back
             # under ties-to-even) — bias corrections would stick at
-            # 1 - v^256 forever. (With the default v2=0.999 _ema_dtype
-            # forces f32 anyway; this also covers fast-decay betas.)
-            st["acc2"] = jnp.zeros((param.shape[0], 2 * param.shape[1] + 128),
-                                   dtype=jnp.float32)
+            # 1 - v^256 forever; and the v2=0.999 second moment freezes in
+            # bf16 under round-to-nearest (_ema_dtype).
+            # Under "bfloat16_sr" the whole buffer narrows to bf16: the
+            # second moment is kept unbiased by stochastic rounding and the
+            # count is packed as THREE base-256 limbs in the count block's
+            # first lanes (each limb 0..255 is exact in bf16; exact range
+            # 2^24 = the same bound a single f32 count has). ops/sr.py.
+            st["acc2"] = jnp.zeros(
+                (param.shape[0], 2 * param.shape[1] + 128),
+                dtype=jnp.bfloat16 if sr else jnp.float32)
         elif self.adapt == "adadelta":
             st["acc"] = zeros(ema(self.v1))
             st["upd"] = zeros(ema(self.v1))
@@ -224,12 +245,28 @@ class Optimizer:
             return mhat / (jnp.sqrt(vhat) + EPSILON), st
         return g, st  # plain SGD
 
-    def _adapt_sparse(self, uidx, g, st):
-        """Row-sparse adaptation; ``uidx`` is deduped with a drop-sentinel tail."""
+    def _adapt_sparse(self, uidx, g, st, sr_seed=None):
+        """Row-sparse adaptation; ``uidx`` is deduped with a drop-sentinel tail.
+
+        ``sr_seed`` — an int32 (2,) vector [seed, global-row-offset] — is
+        required for the slots stored with stochastic rounding
+        (``opt_state_dtype="bfloat16_sr"``): the UNROUNDED f32 state drives
+        this step's update math, the SR-rounded value is what's stored —
+        the same convention as the fused kernels."""
         a = self.adapt
+
+        def _sr_store(rows_f32):
+            from gru4rec_tpu.ops.sr import sr_bits16, sr_round_bf16
+
+            return sr_round_bf16(
+                rows_f32,
+                sr_bits16(sr_seed[0], uidx + sr_seed[1], rows_f32.shape[1]))
+
         if a == "adagrad":
             rows = _take_rows(st["acc"], uidx) + g**2
-            st = {**st, "acc": _put_rows(st["acc"], uidx, rows)}
+            stored = _sr_store(rows) if (
+                self.state_sr and st["acc"].dtype == jnp.bfloat16) else rows
+            st = {**st, "acc": _put_rows(st["acc"], uidx, stored)}
             return g / jnp.sqrt(rows + EPSILON), st
         if a == "rmsprop":
             rows = self.v1 * _take_rows(st["acc"], uidx) + (1.0 - self.v1) * g**2
@@ -261,18 +298,40 @@ class Optimizer:
             if "acc2" in st:  # merged [acc | meang | count-column] layout
                 d = g.shape[1]
                 W = st["acc2"].shape[1]
+                sr = self.state_sr and st["acc2"].dtype == jnp.bfloat16
                 am = _take_rows(st["acc2"], uidx)
                 acc_rows = self.v2 * am[:, :d] + (1.0 - self.v2) * g**2
                 meang_rows = self.v1 * am[:, d:2 * d] + (1.0 - self.v1) * g
-                cnt = am[:, 2 * d] + 1.0
+                if sr:
+                    # count packed as base-256 limbs in the block's first
+                    # three lanes (bf16 buffer; see init_state / ops/sr.py)
+                    from gru4rec_tpu.ops.sr import limbs_decode, limbs_encode
+
+                    cb = am[:, 2 * d:]
+                    cnt = limbs_decode(cb[:, 0], cb[:, 1], cb[:, 2]) + 1.0
+                else:
+                    cnt = am[:, 2 * d] + 1.0
                 corr1 = -jnp.expm1(cnt * _ln(self.v1))[:, None]
                 corr2 = -jnp.expm1(cnt * _ln(self.v2))[:, None]
-                # the count fills ALL 128 lanes of its block (see the
-                # kernel: aligned broadcast instead of lane-shifting concat)
-                new_am = jnp.concatenate(
-                    [acc_rows, meang_rows,
-                     jnp.broadcast_to(cnt[:, None], (cnt.shape[0], W - 2 * d))],
-                    axis=1)
+                if sr:
+                    lo, mid, hi = limbs_encode(cnt[:, None])
+                    cnt_block = jnp.concatenate(
+                        [lo, mid, hi,
+                         jnp.zeros((cnt.shape[0], W - 2 * d - 3), jnp.float32)],
+                        axis=1)
+                    new_am = jnp.concatenate(
+                        [_sr_store(acc_rows),
+                         meang_rows.astype(jnp.bfloat16),
+                         cnt_block.astype(jnp.bfloat16)], axis=1)
+                else:
+                    # the count fills ALL 128 lanes of its block (see the
+                    # kernel: aligned broadcast instead of lane-shifting
+                    # concat)
+                    new_am = jnp.concatenate(
+                        [acc_rows, meang_rows,
+                         jnp.broadcast_to(cnt[:, None],
+                                          (cnt.shape[0], W - 2 * d))],
+                        axis=1)
                 st = {**st, "acc2": _put_rows(st["acc2"], uidx, new_am)}
                 return (meang_rows / corr1) / (jnp.sqrt(acc_rows / corr2)
                                                + EPSILON), st
@@ -316,11 +375,21 @@ class Optimizer:
         # tables; for row-shards, by dist_step's per-shard scratch rows)
         if table.shape[0] % 8:
             return None
-        # adagrad's accumulator always matches the param dtype (init_state);
-        # a mismatch means an exotic hand-built state — take the XLA path.
-        # Narrow (bf16) EMA state and velocity are handled natively.
+        # adagrad's accumulator matches the param dtype (init_state) except
+        # under bfloat16_sr; any other mismatch means an exotic hand-built
+        # state — take the XLA path. Narrow (bf16) EMA state and velocity
+        # are handled natively.
         if self.adapt == "adagrad" and st["acc"].dtype != table.dtype:
-            return None
+            if not (self.state_sr and st["acc"].dtype == jnp.bfloat16):
+                return None
+
+        # the v2 grid kernel has no stochastic-rounding support; SR configs
+        # fall back to XLA wherever v3/v4 can't run
+        def _gate(v):
+            if (v == "v2" and self.state_sr
+                    and self.adapt in ("adagrad", "adam")):
+                return None
+            return v
         # the kernels consume adam/adadelta state in the merged (n, 2d)
         # layout; a split-layout state (hand-built, or a non-2D param) takes
         # the XLA path
@@ -331,8 +400,8 @@ class Optimizer:
             if not _FORCE_PALLAS:
                 return None
             if _FORCE_PALLAS_VERSION is not None:
-                return _FORCE_PALLAS_VERSION
-            return "v3" if width_ok else "v2"
+                return _gate(_FORCE_PALLAS_VERSION)
+            return _gate("v3" if width_ok else "v2")
         from gru4rec_tpu.ops.kernels.sparse_update import (
             COMPACT_VMEM_BYTES, PALLAS_MIN_ROWS, V3_MIN_TABLE_BYTES,
             _kernels_available)
@@ -346,17 +415,40 @@ class Optimizer:
                 return "v4"
             return "v3"
         if table.shape[0] >= PALLAS_MIN_ROWS:
-            return "v2"
+            return _gate("v2")
         return None
 
-    def apply_sparse(self, table, idx, g, st, key=None, allow_kernel=True):
+    def apply_sparse(self, table, idx, g, st, key=None, allow_kernel=True,
+                     sr_row_offset=None):
         """Update ``table`` rows at (possibly duplicated / sentinel-masked) ``idx``.
 
-        ``key`` is accepted for API stability (rounding-dither hook) and
-        currently unused. ``allow_kernel=False`` forces the XLA path — the
-        grouped Pallas kernel requires the table's LAST 8-row group to be all
-        padding (models/gru.py pad_items; parallel/dist_step.py appends
-        per-shard scratch rows to guarantee it shard-locally)."""
+        ``key`` is the per-step PRNG key; it seeds the stochastic-rounding
+        dither when the state is stored under ``opt_state_dtype="bfloat16_sr"``
+        (ops/sr.py; the stateless mixer keeps kernel and XLA paths
+        bit-identical) and is otherwise unused. Under a mesh, pass the
+        REPLICATED per-step key and the shard's GLOBAL row offset
+        (``sr_row_offset``) so the dither hashes global (row, col) cells —
+        the sharded run then rounds bit-identically to the single-chip one.
+        ``allow_kernel=False`` forces the XLA path — the grouped Pallas
+        kernel requires the table's LAST 8-row group to be all padding
+        (models/gru.py pad_items; parallel/dist_step.py appends per-shard
+        scratch rows to guarantee it shard-locally)."""
+        sr_active = self.state_sr and (
+            (self.adapt == "adagrad" and st["acc"].dtype == jnp.bfloat16)
+            or (self.adapt == "adam" and "acc2" in st
+                and st["acc2"].dtype == jnp.bfloat16))
+        if sr_active:
+            if key is None:
+                raise ValueError(
+                    "opt_state_dtype='bfloat16_sr' requires the per-step PRNG"
+                    " key for the stochastic-rounding dither")
+            from gru4rec_tpu.ops.sr import seed_from_key
+
+            off = (jnp.asarray(0, jnp.int32) if sr_row_offset is None
+                   else jnp.asarray(sr_row_offset, jnp.int32))
+            sr_seed = jnp.stack([seed_from_key(key), off])
+        else:
+            sr_seed = None
         version = (self._kernel_version(table, st, n_idx=idx.shape[0])
                    if allow_kernel else None)
         if version:
@@ -383,6 +475,7 @@ class Optimizer:
                     gblk, mask, gstart, nreal, gcomp,
                     lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
                     v1=self.v1, v2=self.v2, interpret=interpret,
+                    sr_seed=sr_seed,
                 )
                 st = dict(st)
                 st[state_key] = state
@@ -402,6 +495,7 @@ class Optimizer:
                     gblk, mask, nreal, gpad,
                     lr=self.lr, momentum=self.momentum, lmbd=self.lmbd,
                     v1=self.v1, v2=self.v2, interpret=interpret,
+                    sr_seed=sr_seed,
                 )
             elif self.adapt == "adam":
                 table, state, vel = fused_adam_update(
@@ -433,7 +527,7 @@ class Optimizer:
                 st["velocity"] = vel
             return table, st
         uidx, g = dedup_rows(idx, g)
-        g, st = self._adapt_sparse(uidx, g, st)
+        g, st = self._adapt_sparse(uidx, g, st, sr_seed=sr_seed)
         if self.lmbd > 0:
             rows = _take_rows(table, uidx)
             delta = self.lr * (g + self.lmbd * rows)

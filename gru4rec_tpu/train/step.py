@@ -246,7 +246,7 @@ def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
                 else:
                     table = new_params[name]
                 table, new_sparse_state[sname] = opt.apply_sparse(
-                    table, idx, g, opt_state["sparse"][sname]
+                    table, idx, g, opt_state["sparse"][sname], key=step_key
                 )
                 if name == "Wx0":
                     new_params["Wx"] = [table] + list(new_params["Wx"][1:])

@@ -142,17 +142,35 @@ RUNS_V4 = [
     ("coveo", "adagrad", False, None),
 ]
 
+# stochastic-rounding bf16 state (opt_state_dtype="bfloat16_sr") A/B at the
+# kernel shapes: halves adam's dominant state-DMA bytes (merged buffer bf16,
+# limb-packed counts) and adagrad's acc bytes. Pair each with its f32-state
+# twin from the same session for the delta.
+RUNS_SR = [
+    ("rees46", "adam", True, "v3", "bfloat16_sr"),
+    ("rees46", "adam", True, "v4", "bfloat16_sr"),
+    ("rees46", "adagrad", True, "v3", "bfloat16_sr"),
+    ("rees46", "adagrad", True, "v4", "bfloat16_sr"),
+    ("rees46", "adam", True, "v3", "bfloat16"),      # f32-state control
+    ("rees46", "adagrad", True, "v3", "bfloat16"),   # f32-state control
+    ("diginetica", "adagrad", True, "v3", "bfloat16_sr"),
+    ("yoochoose", "adagrad", True, "v3", "bfloat16_sr"),
+]
+
 if __name__ == "__main__":
     tags = sys.argv[1:]
-    runs = [r + (None,) for r in RUNS]
+    runs = [r + (None, None) for r in RUNS]
     if tags and tags[0] == "v4ab":
-        runs, tags = RUNS_V4, tags[1:]
-    for shape, adapt, force, ver in runs:
+        runs, tags = [r + (None,) for r in RUNS_V4], tags[1:]
+    elif tags and tags[0] == "sr":
+        runs, tags = RUNS_SR, tags[1:]
+    for shape, adapt, force, ver, osd in runs:
         if tags and shape not in tags:
             continue
         try:
-            run(shape, adapt, force, force_version=ver)
+            run(shape, adapt, force, force_version=ver,
+                opt_state_dtype=osd or "bfloat16")
         except Exception as e:
             print(json.dumps({"shape": shape, "adapt": adapt, "version": ver,
-                              "error": str(e)}),
+                              "opt_state_dtype": osd, "error": str(e)[:300]}),
                   flush=True)
