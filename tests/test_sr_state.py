@@ -102,7 +102,8 @@ def test_sr_ema_does_not_freeze():
 
 # --------------------------------------------------------------------- #
 # optimizer integration
-def _run_steps(adapt, force, *, momentum=0.0, lmbd=0.0, n_steps=6, seed=7):
+def _run_steps(adapt, force, *, momentum=0.0, lmbd=0.0, n_steps=6, seed=7,
+               version="v3"):
     cfg = GRU4RecConfig(adapt=adapt, learning_rate=0.05, momentum=momentum,
                         lmbd=lmbd, opt_state_dtype="bfloat16_sr",
                         loss="cross-entropy")
@@ -113,7 +114,7 @@ def _run_steps(adapt, force, *, momentum=0.0, lmbd=0.0, n_steps=6, seed=7):
     st = opt.init_state(table, sparse=True)
     key = jax.random.PRNGKey(seed)
     optmod._FORCE_PALLAS = force
-    optmod._FORCE_PALLAS_VERSION = "v3" if force else None
+    optmod._FORCE_PALLAS_VERSION = version if force else None
     try:
         for s in range(n_steps):
             idx = jnp.asarray(rng.randint(0, n - 8, (24,)).astype(np.int32))
@@ -126,14 +127,16 @@ def _run_steps(adapt, force, *, momentum=0.0, lmbd=0.0, n_steps=6, seed=7):
     return np.asarray(table), {k: np.asarray(v) for k, v in st.items()}
 
 
+@pytest.mark.parametrize("version", ["v3", "v4"])
 @pytest.mark.parametrize("adapt", ["adagrad", "adam"])
 @pytest.mark.parametrize("momentum,lmbd", [(0.0, 0.0), (0.5, 1e-4)])
-def test_sr_kernel_matches_xla(adapt, momentum, lmbd):
+def test_sr_kernel_matches_xla(adapt, momentum, lmbd, version):
     """The stateless dither makes kernel and XLA SR state BIT-IDENTICAL;
     tables agree to f32 round-off (the duplicate-sum order differs between
     paths, same as the non-SR differential contract)."""
     t_x, st_x = _run_steps(adapt, False, momentum=momentum, lmbd=lmbd)
-    t_k, st_k = _run_steps(adapt, True, momentum=momentum, lmbd=lmbd)
+    t_k, st_k = _run_steps(adapt, True, momentum=momentum, lmbd=lmbd,
+                           version=version)
     np.testing.assert_allclose(t_x, t_k, atol=2e-6)
     for k in st_x:
         assert st_x[k].dtype == st_k[k].dtype
