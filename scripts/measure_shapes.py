@@ -155,6 +155,11 @@ RUNS_SR = [
     ("rees46", "adagrad", True, "v3", "bfloat16"),   # f32-state control
     ("diginetica", "adagrad", True, "v3", "bfloat16_sr"),
     ("yoochoose", "adagrad", True, "v3", "bfloat16_sr"),
+    # sub-64MB regime: SR halves state DMAs on top of v4's staging cut —
+    # re-contest the dispatch line where XLA's promoted scatters win today
+    ("retailrocket", "adagrad", True, "v4", "bfloat16_sr"),
+    ("rsc15", "adagrad", True, "v4", "bfloat16_sr"),
+    ("coveo", "adagrad", True, "v4", "bfloat16_sr"),
 ]
 
 if __name__ == "__main__":

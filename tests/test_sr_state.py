@@ -285,6 +285,34 @@ def _markov_frame(n_sessions=120, n_items=40, seed=0):
     return pd.DataFrame(rows, columns=["SessionId", "ItemId", "Time"])
 
 
+def test_sr_accuracy_matches_f32_run():
+    """Training quality under SR state: same config trained with float32 vs
+    bfloat16_sr state lands within a point of Recall/MRR on the noisy-Markov
+    task — the SR noise is unbiased dither on the adaptive learning rate,
+    not an accuracy regression."""
+    from gru4rec_tpu import GRU4Rec
+    from gru4rec_tpu.eval import evaluate
+
+    def train_eval(dtype):
+        rng_frame = _markov_frame(n_sessions=250, seed=1)
+        cfg = GRU4RecConfig(
+            loss="cross-entropy", final_act="softmax", layers=[24],
+            batch_size=12, n_sample=24, sample_alpha=0.5, learning_rate=0.08,
+            adapt="adam", embedding=16, n_epochs=3, chunk_size=32,
+            item_pad_multiple=16, opt_state_dtype=dtype,
+            dropout_p_hidden=0.0, dropout_p_embed=0.0, seed=42)
+        m = GRU4Rec(cfg)
+        m.fit(rng_frame)
+        rec, mrr = evaluate(m, _markov_frame(n_sessions=60, seed=9),
+                            cut_off=[1, 10], batch_size=12)
+        return rec, mrr
+
+    rec_f, mrr_f = train_eval("float32")
+    rec_s, mrr_s = train_eval("bfloat16_sr")
+    np.testing.assert_allclose(rec_s, rec_f, atol=0.02)
+    np.testing.assert_allclose(mrr_s, mrr_f, atol=0.02)
+
+
 def test_sr_end_to_end_learns_and_checkpoints(tmp_path):
     from gru4rec_tpu import GRU4Rec
     from gru4rec_tpu.eval import evaluate
