@@ -109,6 +109,17 @@ class GRU4RecConfig:
             raise NotImplementedError(
                 f"Unknown opt_state_dtype: {self.opt_state_dtype!r} "
                 "(float32 | bfloat16 | bfloat16_sr)")
+        if (self.loss == "cross-entropy"
+                and self.final_act not in ("softmax", "softmax_logit")):
+            # the reference accepts this silently and NaNs on log(score<=0)
+            # mid-epoch (gru4rec.py:97 defaults final_act='linear'); keep the
+            # accepting behavior for parity but say why training will abort
+            print(
+                f"Warn: loss=cross-entropy takes log of the scores, but "
+                f"final_act={self.final_act!r} can emit scores <= 0 — "
+                "training will likely NaN-abort. Use final_act=softmax "
+                "(what every published cross-entropy config uses)."
+            )
 
     # ------------------------------------------------------------------ #
     def set_params(self, **kwargs) -> "GRU4RecConfig":

@@ -241,15 +241,9 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
         col_ids = r0 + jnp.arange(rows_total)
         col_valid = (jnp.arange(rows_total) < rows_local) & (col_ids < n_items)
 
-        def gather_rows(shard, idx):
-            # sentinel = rows_total (PAST the kernel-scratch rows): it must
-            # be out of bounds so mode="fill" zeroes it — rows_local itself
-            # addresses the first scratch row when scratch_rows > 0, which
-            # would silently gather whatever training left there
-            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
-                            rows_total)
-            rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
-            return jax.lax.psum(rows, "model")
+        from gru4rec_tpu.parallel.dist_step import make_row_gather
+
+        gather_rows = make_row_gather(r0, rows_local)
 
         if items_subset:
             # subset columns shard over `model` like the catalog: each shard
@@ -448,12 +442,9 @@ def make_dist_topk_fn(cfg: GRU4RecConfig, n_items: int, k: int, mesh,
         col_ids = r0 + jnp.arange(rows_total)
         col_valid = (jnp.arange(rows_total) < rows_local) & (col_ids < n_items)
 
-        def gather_rows(shard, idx):
-            # sentinel past the kernel-scratch rows (see make_dist_eval_chunk_fn)
-            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
-                            rows_total)
-            rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
-            return jax.lax.psum(rows, "model")
+        from gru4rec_tpu.parallel.dist_step import make_row_gather
+
+        gather_rows = make_row_gather(r0, rows_local)
 
         if mode_in == "constrained":
             srows = {"WyS": gather_rows(params["Wy"], in_idx)}
@@ -571,20 +562,10 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
         # detect the training shard layout (per-shard kernel scratch rows
         # appended to every item-table shard, parallel/dist_step.py): in-fit
         # validation passes the live sharded train state unchanged
-        from gru4rec_tpu.parallel.dist_step import SCRATCH_ROWS
+        from gru4rec_tpu.parallel.dist_step import detect_scratch_layout
 
-        nm = mesh.shape["model"]
-        n_pad = gru.pad_items(gru_model.n_items, cfg.item_pad_multiple)
-        wy_rows = int(gru_model.params["Wy"].shape[0])
-        if wy_rows == n_pad + SCRATCH_ROWS * nm:
-            scratch = SCRATCH_ROWS
-        elif wy_rows == n_pad:
-            scratch = 0
-        else:
-            raise ValueError(
-                f"Wy has {wy_rows} rows; expected {n_pad} (canonical) or "
-                f"{n_pad + SCRATCH_ROWS * nm} (training shard layout)"
-            )
+        scratch = detect_scratch_layout(
+            gru_model.params, gru_model.n_items, cfg, mesh)
         chunk_fn = _cached_dist_eval_chunk_fn(
             cfg, gru_model.n_items, cutoffs, mode, batch_size, mesh,
             items_subset, scratch_rows=scratch,

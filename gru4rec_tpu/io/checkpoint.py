@@ -63,6 +63,39 @@ def _from_saved(a, like_dtype, saved_dtype=None):
     return a
 
 
+def _decode_opt_leaves(archive, tmpl_leaves, what: str):
+    """Decode every ``opt/<i>`` archive entry against the rebuilt template:
+    count check, saved-dtype decode (:func:`_from_saved`), per-leaf shape
+    validation. One implementation serves both train checkpoints and
+    ``savemodel(include_optimizer=True)`` archives so a state-layout
+    migration cannot make them diverge in what they accept."""
+    import jax.numpy as jnp
+
+    n_saved = len([k for k in archive.files if k.startswith("opt/")])
+    if n_saved != len(tmpl_leaves):
+        raise ValueError(
+            f"{what} stores {n_saved} optimizer-state arrays but the "
+            f"current optimizer layout has {len(tmpl_leaves)} — the "
+            "archive was written by a version with a different state "
+            "layout and cannot be restored safely"
+        )
+    opt_leaves = []
+    for i, tmpl in enumerate(tmpl_leaves):
+        saved = _from_saved(
+            archive[f"opt/{i}"], tmpl.dtype,
+            saved_dtype=(str(archive[f"opt_dtype/{i}"])
+                         if f"opt_dtype/{i}" in archive.files else None),
+        )
+        if tuple(saved.shape) != tuple(tmpl.shape):
+            raise ValueError(
+                f"optimizer-state array opt/{i} has shape {saved.shape} "
+                f"but the current layout expects {tmpl.shape} — the "
+                "archive was written by an incompatible version"
+            )
+        opt_leaves.append(jnp.asarray(saved))
+    return opt_leaves
+
+
 def _flatten_params(params) -> dict:
     flat = {}
     for group in ("Wx", "Wh", "Wrz", "Bh"):
@@ -170,29 +203,7 @@ def load_train_checkpoint(fname: str, model):
         # rebuild the optimizer-state structure, then fill with saved leaves
         template = init_train_state(cfg, model.n_items, jax.random.PRNGKey(0))
         tmpl_leaves, treedef = jax.tree_util.tree_flatten(template.opt_state)
-        n_saved = len([k for k in archive.files if k.startswith("opt/")])
-        if n_saved != len(tmpl_leaves):
-            raise ValueError(
-                f"checkpoint stores {n_saved} optimizer-state arrays but the "
-                f"current optimizer layout has {len(tmpl_leaves)} — the "
-                "archive was written by a version with a different state "
-                "layout and cannot be resumed safely"
-            )
-        opt_leaves = [
-            jnp.asarray(_from_saved(
-                archive[f"opt/{i}"], leaf.dtype,
-                saved_dtype=(str(archive[f"opt_dtype/{i}"])
-                             if f"opt_dtype/{i}" in archive.files else None),
-            ))
-            for i, leaf in enumerate(tmpl_leaves)
-        ]
-        for i, (saved, tmpl) in enumerate(zip(opt_leaves, tmpl_leaves)):
-            if tuple(saved.shape) != tuple(tmpl.shape):
-                raise ValueError(
-                    f"optimizer-state array opt/{i} has shape {saved.shape} "
-                    f"but the current layout expects {tmpl.shape} — the "
-                    "archive was written by an incompatible version"
-                )
+        opt_leaves = _decode_opt_leaves(archive, tmpl_leaves, "checkpoint")
         opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
         H = tuple(
             jnp.asarray(archive[f"state/H{i}"]) for i in range(len(cfg.layers))
@@ -241,30 +252,10 @@ def load_model(fname: str, cls):
                                         jax.random.PRNGKey(cfg.seed))
             tmpl_leaves, treedef = jax.tree_util.tree_flatten(
                 template.opt_state)
-            n_saved = len([k for k in archive.files if k.startswith("opt/")])
-            if n_saved != len(tmpl_leaves):
-                raise ValueError(
-                    f"model archive stores {n_saved} optimizer-state arrays "
-                    f"but the current optimizer layout has "
-                    f"{len(tmpl_leaves)} — incompatible version"
-                )
             import jax.numpy as jnp
 
-            opt_leaves = []
-            for i, tmpl in enumerate(tmpl_leaves):
-                saved = _from_saved(
-                    archive[f"opt/{i}"], tmpl.dtype,
-                    saved_dtype=(str(archive[f"opt_dtype/{i}"])
-                                 if f"opt_dtype/{i}" in archive.files
-                                 else None),
-                )
-                if tuple(saved.shape) != tuple(tmpl.shape):
-                    raise ValueError(
-                        f"optimizer-state array opt/{i} has shape "
-                        f"{saved.shape}, expected {tmpl.shape} — "
-                        "incompatible version"
-                    )
-                opt_leaves.append(jnp.asarray(saved))
+            opt_leaves = _decode_opt_leaves(archive, tmpl_leaves,
+                                            "model archive")
             step = (jnp.asarray(archive["meta/opt_step"])
                     if "meta/opt_step" in archive.files else template.step)
             model._train_state = template._replace(

@@ -456,10 +456,13 @@ class GRU4Rec:
             state = unshard_train_state(state, cfg, mesh)
         if best_params is not None:
             # keep_best: serve/save the best-validation parameters (the
-            # optimizer state stays at the last epoch for resumability)
-            state = state._replace(
-                params=jax.tree_util.tree_map(jnp.asarray, best_params)
-            )
+            # optimizer state stays at the last epoch for resumability).
+            # Under a mesh the snapshot stays host numpy — the canonical
+            # full-size tables must never be gathered onto one device
+            # (same contract as unshard_train_state above)
+            if mesh is None:
+                best_params = jax.tree_util.tree_map(jnp.asarray, best_params)
+            state = state._replace(params=best_params)
         self._train_state = state
         self.params = state.params
         self.H = state.H
@@ -697,7 +700,7 @@ class GRU4Rec:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from gru4rec_tpu.eval.evaluation import make_dist_topk_fn
-        from gru4rec_tpu.parallel.dist_step import SCRATCH_ROWS
+        from gru4rec_tpu.parallel.dist_step import detect_scratch_layout
         from gru4rec_tpu.parallel.mesh import param_pspecs
 
         cfg = self.config
@@ -705,19 +708,13 @@ class GRU4Rec:
         if batch % nd:
             raise ValueError(
                 f"batch {batch} must divide over data axis {nd}")
-        nm = mesh.shape["model"]
-        n_pad = gru.pad_items(self.n_items, cfg.item_pad_multiple)
-        wy_rows = int(self.params["Wy"].shape[0])
-        if wy_rows == n_pad + SCRATCH_ROWS * nm:
-            scratch = SCRATCH_ROWS
-        elif wy_rows == n_pad:
-            scratch = 0
-        else:
-            raise ValueError(
-                f"Wy has {wy_rows} rows; expected {n_pad} (canonical) or "
-                f"{n_pad + SCRATCH_ROWS * nm} (training shard layout)"
-            )
-        key = (id(mesh), int(k), int(batch), scratch)
+        scratch = detect_scratch_layout(self.params, self.n_items, cfg, mesh)
+        # keyed on the mesh's device ids, not id(mesh): a dead mesh's id can
+        # be reused by a new Mesh over different devices (same keying as
+        # _cached_dist_eval_chunk_fn)
+        key = (tuple(mesh.shape.items()),
+               tuple(d.id for d in mesh.devices.flat),
+               int(k), int(batch), scratch)
         put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
         cache = self._dist_topk
         if cache is None or cache["key"] != key:

@@ -494,6 +494,11 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
     # -inf for this); ln = 0.0 would yield -expm1(0) = 0 and a divide-by-zero
     ln_v1 = float(np.log(v1)) if is_adam and v1 > 0 else None
     ln_v2 = float(np.log(v2)) if is_adam and v2 > 0 else None
+    # decay-gated rounding for adam's first moment under SR storage: a slow
+    # v1 (> 0.99, the _ema_dtype threshold) would freeze under plain
+    # round-to-nearest bf16, so it gets its own SR dither (hashed on its
+    # buffer columns d..2d-1 — matches the XLA path bit-for-bit)
+    sr_m = sr and is_adam and v1 > 0.99
 
     def kernel(gblk_ref, mask_ref, nreal_ref, *refs):
         refs = list(refs)
@@ -666,11 +671,17 @@ def _fused_update_v3(adapt, table, acc, vel, gblk, mask, nreal, gpad,
                         lane == 0, lo, jnp.where(
                             lane == 1, mid, jnp.where(lane == 2, hi, 0.0)))
                     # slow second moment stored with SR (unbiased, no
-                    # freeze); the 0.9-decay meang and the exact-integer
-                    # limbs round-to-nearest exactly
+                    # freeze); the exact-integer limbs round-to-nearest
+                    # exactly. The first moment follows the decay gate:
+                    # RN at the usual fast v1, SR when v1 > 0.99 (sr_m)
+                    if sr_m:
+                        mbits = sr_bits16(seed_ref[0], rowv, d, col_offset=d)
+                        m_stored = sr_round_bf16(m_new, mbits)
+                    else:
+                        m_stored = m_new.astype(acc_dtype)
                     aout[slot] = jnp.concatenate(
                         [sr_round_bf16(acc_new, dbits),
-                         m_new.astype(acc_dtype),
+                         m_stored,
                          cntb_new.astype(acc_dtype)], axis=1)
                 else:
                     # count fills ALL 128 lanes (aligned broadcast, no

@@ -61,15 +61,21 @@ def mix32(h):
     return h
 
 
-def sr_bits16(seed, row_ids, n_cols: int):
+def sr_bits16(seed, row_ids, n_cols: int, col_offset: int = 0):
     """(m, n_cols) int32 dither bits in [0, 2^16) for (row, col) cells.
 
     ``seed`` is an int32 scalar (per training step), ``row_ids`` absolute
     table row indices of any shape reshaped to (m, 1). The same (seed, row,
     col) triple yields the same bits on every path and backend.
+    ``col_offset`` shifts the column ids — slots that live past column 0 of
+    a merged state buffer (e.g. adam's first moment at columns d..2d-1)
+    must hash their BUFFER columns so their dither is independent of the
+    first slot's.
     """
     rows = row_ids.astype(jnp.int32).reshape(-1, 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+    if col_offset:
+        cols = cols + np.int32(col_offset)
     h = mix32(seed + rows * _P_ROW + cols * _P_COL)
     return h & np.int32(0xFFFF)
 

@@ -134,6 +134,44 @@ def unshard_train_state(state, cfg: GRU4RecConfig, mesh):
     )
 
 
+def detect_scratch_layout(params, n_items: int, cfg: GRU4RecConfig, mesh):
+    """0 if ``params`` are in the canonical layout, :data:`SCRATCH_ROWS` if
+    every item table carries the per-shard kernel-scratch rows (the live
+    training layout from :func:`shard_train_state`). Raises on any other
+    row count. Shared by the distributed eval and serving entry points so
+    a layout change cannot make them disagree."""
+    nm = mesh.shape["model"]
+    n_pad = gru.pad_items(n_items, cfg.item_pad_multiple)
+    wy_rows = int(params["Wy"].shape[0])
+    if wy_rows == n_pad + SCRATCH_ROWS * nm:
+        return SCRATCH_ROWS
+    if wy_rows == n_pad:
+        return 0
+    raise ValueError(
+        f"Wy has {wy_rows} rows; expected {n_pad} (canonical) or "
+        f"{n_pad + SCRATCH_ROWS * nm} (training shard layout)"
+    )
+
+
+def make_row_gather(r0, rows_local):
+    """Shard-local row gather merged with a psum over the ``model`` axis.
+
+    The non-owned sentinel is ``shard.shape[0]`` — PAST the kernel-scratch
+    rows: ``rows_local`` itself addresses the first scratch row when the
+    training layout is live, which ``mode="fill"`` would then happily
+    return instead of zeroing (scratch rows are zero by kernel invariant
+    today, but nothing should depend on it). One definition serves the
+    train, eval, and serving shard_map bodies."""
+
+    def gather_rows(shard, idx):
+        loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
+                        shard.shape[0])
+        rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
+        return jax.lax.psum(rows, "model")
+
+    return gather_rows
+
+
 def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
     """Build the jitted shard_map training chunk. Same contract as
     train/step.py:make_chunk_fn, but state/schedule arrive sharded."""
@@ -158,16 +196,7 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
         r0 = mi * rows_local
         diag_offset = di * B_local
 
-        def gather_rows(shard, idx):
-            # non-owned sentinel must be PAST the scratch rows: rows_local
-            # itself addresses the first kernel-scratch row, which mode="fill"
-            # would then happily return instead of zeroing (scratch rows are
-            # zero by kernel invariant today, but nothing should depend on it
-            # — same hardening as the eval/serving gathers)
-            loc = jnp.where((idx >= r0) & (idx < r0 + rows_local), idx - r0,
-                            shard.shape[0])
-            rows = jnp.take(shard, loc, axis=0, mode="fill", fill_value=0)
-            return jax.lax.psum(rows, "model")
+        gather_rows = make_row_gather(r0, rows_local)
 
         def to_local(idx):
             return jnp.where(

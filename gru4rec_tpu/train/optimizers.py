@@ -192,7 +192,9 @@ class Optimizer:
             # 1 - v^256 forever; and the v2=0.999 second moment freezes in
             # bf16 under round-to-nearest (_ema_dtype).
             # Under "bfloat16_sr" the whole buffer narrows to bf16: the
-            # second moment is kept unbiased by stochastic rounding and the
+            # second moment is kept unbiased by stochastic rounding, the
+            # first moment is RN at the usual fast v1 and SR when
+            # v1 > 0.99 (the same decay gate as _ema_dtype), and the
             # count is packed as THREE base-256 limbs in the count block's
             # first lanes (each limb 0..255 is exact in bf16; exact range
             # 2^24 = the same bound a single f32 count has). ops/sr.py.
@@ -255,12 +257,13 @@ class Optimizer:
         the same convention as the fused kernels."""
         a = self.adapt
 
-        def _sr_store(rows_f32):
+        def _sr_store(rows_f32, col_offset=0):
             from gru4rec_tpu.ops.sr import sr_bits16, sr_round_bf16
 
             return sr_round_bf16(
                 rows_f32,
-                sr_bits16(sr_seed[0], uidx + sr_seed[1], rows_f32.shape[1]))
+                sr_bits16(sr_seed[0], uidx + sr_seed[1], rows_f32.shape[1],
+                          col_offset=col_offset))
 
         if a == "adagrad":
             rows = _take_rows(st["acc"], uidx) + g**2
@@ -319,9 +322,19 @@ class Optimizer:
                         [lo, mid, hi,
                          jnp.zeros((cnt.shape[0], W - 2 * d - 3), jnp.float32)],
                         axis=1)
+                    # decay-gated rounding for the first moment: at the
+                    # usual fast v1 (<= 0.99) round-to-nearest is exact
+                    # enough (per-step relative change clears bf16's
+                    # half-ULP, _ema_dtype); a SLOW v1 would freeze under
+                    # RN, so it gets SR too — dithered on its own buffer
+                    # columns d..2d-1
+                    meang_stored = (
+                        _sr_store(meang_rows, col_offset=d)
+                        if self.v1 > 0.99 else
+                        meang_rows.astype(jnp.bfloat16))
                     new_am = jnp.concatenate(
                         [_sr_store(acc_rows),
-                         meang_rows.astype(jnp.bfloat16),
+                         meang_stored,
                          cnt_block.astype(jnp.bfloat16)], axis=1)
                 else:
                     # the count fills ALL 128 lanes of its block (see the

@@ -219,6 +219,10 @@ def test_infit_validation_under_mesh_matches_single_chip():
         np.asarray(m_dist.params["Wy"]), np.asarray(m_single.params["Wy"]),
         rtol=2e-4, atol=1e-6,
     )
+    # ... and as HOST numpy: the keep-best snapshot must never device_put
+    # the full canonical tables onto one chip (they may only fit sharded)
+    for leaf in jax.tree_util.tree_leaves(dict(m_dist.params)):
+        assert isinstance(leaf, np.ndarray), type(leaf)
 
 
 def test_retrain_extends_vocab_under_mesh():

@@ -18,6 +18,7 @@ ops/kernels/sparse_update.py:
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 import pandas as pd
 import pytest
@@ -103,9 +104,10 @@ def test_sr_ema_does_not_freeze():
 # --------------------------------------------------------------------- #
 # optimizer integration
 def _run_steps(adapt, force, *, momentum=0.0, lmbd=0.0, n_steps=6, seed=7,
-               version="v3"):
+               version="v3", adapt_params=None):
     cfg = GRU4RecConfig(adapt=adapt, learning_rate=0.05, momentum=momentum,
                         lmbd=lmbd, opt_state_dtype="bfloat16_sr",
+                        adapt_params=list(adapt_params or []),
                         loss="cross-entropy")
     opt = make_optimizer(cfg)
     rng = np.random.RandomState(0)
@@ -142,6 +144,53 @@ def test_sr_kernel_matches_xla(adapt, momentum, lmbd, version):
         assert st_x[k].dtype == st_k[k].dtype
         assert np.array_equal(st_x[k].view(np.uint8),
                               st_k[k].view(np.uint8)), k
+
+
+@pytest.mark.parametrize("version", ["v3", "v4"])
+def test_sr_slow_v1_kernel_matches_xla(version):
+    """adapt_params v1 > 0.99 flips the first moment to SR storage (decay
+    gate) — both paths must apply the same rule with the same
+    column-offset dither, or bit parity breaks exactly here."""
+    t_x, st_x = _run_steps("adam", False, adapt_params=[0.995, 0.999])
+    t_k, st_k = _run_steps("adam", True, version=version,
+                           adapt_params=[0.995, 0.999])
+    np.testing.assert_allclose(t_x, t_k, atol=2e-6)
+    for k in st_x:
+        assert np.array_equal(st_x[k].view(np.uint8),
+                              st_k[k].view(np.uint8)), k
+
+
+def test_sr_slow_v1_meang_does_not_freeze():
+    """Regression for the decay-gate bypass: with v1=0.995 under
+    bfloat16_sr, a plain RN-bf16 first moment freezes ~20% below its f32
+    steady state (per-step change (1-v1)|g-m| drops under the bf16
+    half-ULP); the gated SR storage must keep tracking."""
+    cfg = GRU4RecConfig(adapt="adam", adapt_params=[0.995, 0.999],
+                        learning_rate=0.05, opt_state_dtype="bfloat16_sr",
+                        loss="cross-entropy")
+    opt = make_optimizer(cfg)
+    n, d, g0 = 8, 128, 0.01
+    table = jnp.zeros((n, d), jnp.float32)
+    st = opt.init_state(table, sparse=True)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    g = jnp.full((n, d), g0, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    steps = 800
+    step = jax.jit(lambda t, s, k: opt.apply_sparse(t, idx, g, s, key=k))
+    for s in range(steps):
+        table, st = step(table, st, jax.random.fold_in(key, s))
+    v1 = 0.995
+    m_f32 = g0 * (1.0 - v1**steps)
+    m_sr = np.asarray(st["acc2"][:, d:2 * d], np.float32)
+    # the RN twin (what the ungated code stored)
+    m_rn = np.float32(0.0)
+    for _ in range(steps):
+        m_rn = np.asarray(v1 * np.float32(m_rn) + (1 - v1) * g0,
+                          np.float32).astype(ml_dtypes.bfloat16)
+    rn_err = abs(float(np.float32(m_rn)) - m_f32) / g0
+    sr_err = np.max(np.abs(m_sr - m_f32)) / g0
+    assert rn_err > 0.15, rn_err  # RN really does freeze at this decay
+    assert sr_err < 0.05, sr_err
 
 
 @pytest.mark.parametrize("force", [False, True])
