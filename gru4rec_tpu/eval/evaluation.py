@@ -30,6 +30,7 @@ import pandas as pd
 
 from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.data.scheduler import build_schedule
+from gru4rec_tpu.data.tools import compute_offset
 from gru4rec_tpu.models import gru
 from gru4rec_tpu.ops.ranking import TIE_MODES, compute_ranks, ranks_from_counts
 
@@ -105,6 +106,11 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                  item_idx=None):
         n_pad = params["Wy"].shape[0]
         item_valid = (jnp.arange(n_pad) < n_items) if not items_subset else None
+        if items_subset:
+            # the subset columns are loop-invariant: gather their rows ONCE
+            # per chunk (the dist path already hoists this); only the b
+            # target rows are gathered per step
+            sub_rows = jnp.take(params["Wy"], item_idx, axis=0)
 
         def step_fn(carry, xs):
             H, rec, mrr, n, step = carry
@@ -119,8 +125,9 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                 srows = {"Wx0": jnp.take(params["Wx"][0], Xg, axis=0)}
             if items_subset:
                 # score only the target + the item list (evaluation.py:104-105)
-                Y = jnp.concatenate([jnp.where(valid, out_idx, 0), item_idx])
-                srows["Wy"] = jnp.take(params["Wy"], Y, axis=0)
+                t_rows = jnp.take(params["Wy"], jnp.where(valid, out_idx, 0),
+                                  axis=0)
+                srows["Wy"] = jnp.concatenate([t_rows, sub_rows], axis=0)
                 H_new, yhat = gru.forward(
                     params, srows, list(H), cfg, M=batch_size, training=False,
                     col_valid=None, full_catalog=False,
@@ -132,6 +139,16 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                     ) * 1e-10
                 target = yhat[jnp.arange(b), jnp.arange(b)]
                 others = yhat[:, b:]
+                if tie_mode == "tiebreaking":
+                    # when the target item is among the subset columns, that
+                    # duplicate column carries an INDEPENDENT dither draw —
+                    # it would count as > target with probability ~1/2,
+                    # inflating the rank by +0.5/event. Full-catalog
+                    # semantics: the self-comparison is exact and
+                    # contributes 0 — so exclude the duplicate.
+                    out_v = jnp.where(valid, out_idx, -1)
+                    dup = item_idx[None, :] == out_v[:, None]
+                    others = jnp.where(dup, -jnp.inf, others)
                 # The reference's subset path drops the target's
                 # self-comparison (evaluation.py:59-60), which makes its
                 # 'conservative' mode yield rank 0 (-> inf MRR) whenever the
@@ -294,6 +311,13 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
                 t = target[:, None]
                 scores = yhat[:, b:]
                 cnt_ok = sub_owned[None, :]
+                if tie_mode == "tiebreaking":
+                    # exclude the target's duplicate subset column: its
+                    # independent dither draw would count as > target with
+                    # probability ~1/2 (see make_eval_chunk_fn)
+                    out_chk = jnp.where(valid, out_idx, -1)
+                    dup = item_idx[None, :] == out_chk[:, None]
+                    cnt_ok = cnt_ok & ~dup
                 gt = jax.lax.psum(
                     jnp.sum((scores > t) & cnt_ok, axis=1), "model")
                 second = None
@@ -495,7 +519,7 @@ def make_dist_topk_fn(cfg: GRU4RecConfig, n_items: int, k: int, mesh,
 
 def evaluate(gru_model, test_data, items=None, session_key="SessionId",
              item_key="ItemId", time_key="Time", cut_off=[20], batch_size=100,
-             mode="standard", mesh=None):
+             mode="standard", mesh=None, _sched_cache=None):
     """Measure Recall@N and MRR@N of a trained model (reference: evaluate_gpu,
     evaluation.py:15-147). Returns ``(recall_list, mrr_list)``; scalars are
     returned as one-element lists to match multi-cutoff handling.
@@ -534,19 +558,33 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
               f"(must divide the {nd}-wide data axis)")
         batch_size = adj
     itemidmap = gru_model.itemidmap
-    test_data = pd.merge(
-        test_data,
-        pd.DataFrame({"ItemIdx": itemidmap.values, item_key: itemidmap.index}),
-        on=item_key,
-        how="inner",
-    )
-    test_data.sort_values([session_key, time_key, item_key], inplace=True)
-    offsets = np.zeros(test_data[session_key].nunique() + 1, dtype=np.int64)
-    offsets[1:] = test_data.groupby(session_key, sort=False).size().cumsum().values
-    order = np.arange(len(offsets) - 1, dtype=np.int64)
-    sched = build_schedule(
-        test_data["ItemIdx"].values.astype(np.int32), offsets, order, batch_size
-    )
+    # ``_sched_cache`` (a caller-owned dict) memoizes the host-side
+    # merge/sort/schedule prep across calls with the SAME test frame —
+    # in-fit per-epoch validation otherwise repeats identical multi-second
+    # host work every epoch while the device idles. Callers must drop the
+    # dict when the frame may have changed (fit() keeps one per fit call).
+    sched = None
+    if _sched_cache is not None:
+        _ck = (id(test_data), len(test_data), int(batch_size),
+               session_key, item_key, time_key)
+        sched = _sched_cache.get(_ck)
+    if sched is None:
+        test_data = pd.merge(
+            test_data,
+            pd.DataFrame({"ItemIdx": itemidmap.values,
+                          item_key: itemidmap.index}),
+            on=item_key,
+            how="inner",
+        )
+        test_data.sort_values([session_key, time_key, item_key], inplace=True)
+        offsets = compute_offset(test_data, session_key)
+        order = np.arange(len(offsets) - 1, dtype=np.int64)
+        sched = build_schedule(
+            test_data["ItemIdx"].values.astype(np.int32), offsets, order,
+            batch_size,
+        )
+        if _sched_cache is not None:
+            _sched_cache[_ck] = sched
 
     item_idx = None
     items_subset = items is not None
@@ -649,10 +687,14 @@ def evaluate_sessions_batch(pr, test_data, items=None, cut_off=20, batch_size=10
         on=item_key, how="inner",
     )
     test_data.sort_values([session_key, time_key, item_key], inplace=True)
-    offset_sessions = np.zeros(test_data[session_key].nunique() + 1, dtype=np.int64)
-    offset_sessions[1:] = test_data.groupby(session_key, sort=False).size().cumsum().values
+    offset_sessions = compute_offset(test_data, session_key)
     if len(offset_sessions) - 1 < batch_size:
         batch_size = len(offset_sessions) - 1
+    if batch_size < 1:
+        raise ValueError(
+            "test set produced no evaluable sessions after inner-joining "
+            "items to the training vocabulary"
+        )
     iters = np.arange(batch_size).astype(np.int64)
     maxiter = iters.max()
     start = offset_sessions[iters].copy()
@@ -719,6 +761,12 @@ def evaluate_sessions_batch(pr, test_data, items=None, cut_off=20, batch_size=10
                 iters[idx] = maxiter
                 start[idx] = offset_sessions[maxiter]
                 end[idx] = offset_sessions[maxiter + 1]
+    if n_points == 0:
+        raise ValueError(
+            "test set produced no evaluable events: every session has fewer "
+            "than two events after inner-joining items to the training "
+            "vocabulary"
+        )
     return recall / n_points, mrr / n_points
 
 
@@ -809,4 +857,10 @@ def evaluate_sessions(pr, test_data, train_data, items=None, cut_off=20,
         recall += int(ok.sum())
         mrr += float((1.0 / ranks[ok]).sum())
         n_points += len(ranks)
+    if n_points == 0:
+        raise ValueError(
+            "test set produced no evaluable events: every session has fewer "
+            "than two events after inner-joining items to the training "
+            "vocabulary"
+        )
     return recall / n_points, mrr / n_points

@@ -228,14 +228,11 @@ class GRU4Rec:
         logp0[: self.n_items] = np.log(np.maximum(pop, 1).astype(np.float64))
         logp0 = jnp.asarray(logp0)
         if cfg.n_sample and cfg.sample_alpha != 0 and cfg.sampler == "alias":
-            tbl = build_alias_table(pop, cfg.sample_alpha)
-            samp1, samp2 = tbl.packed, jnp.zeros((1,), jnp.int32)
+            samp1 = build_alias_table(pop, cfg.sample_alpha).packed
         elif cfg.n_sample and cfg.sample_alpha != 0:
             samp1 = jnp.asarray(popularity_cdf(pop, cfg.sample_alpha))
-            samp2 = jnp.zeros((1,), jnp.int32)
         else:
             samp1 = jnp.zeros((1,), jnp.float32)
-            samp2 = jnp.zeros((1,), jnp.int32)
 
         if resumed_state is not None:
             state = resumed_state
@@ -274,17 +271,16 @@ class GRU4Rec:
             # loop-invariant inputs replicate ONCE, not per chunk (the alias
             # table is ~MBs at Rees46 scale x ~183 chunks/epoch otherwise)
             samp1 = jax.device_put(samp1, repl)
-            samp2 = jax.device_put(samp2, repl)
             logp0 = jax.device_put(logp0, repl)
 
-            def chunk_fn(state, in_c, out_c, valid_c, reset_c, samp1, samp2, logp0):
+            def chunk_fn(state, in_c, out_c, valid_c, reset_c, samp1, logp0):
                 out = dist_fn(
                     state.params, state.opt_state, state.H, state.key, state.step,
                     jax.device_put(in_c, sched_shard),
                     jax.device_put(out_c, sched_shard),
                     jax.device_put(valid_c, sched_shard),
                     jax.device_put(reset_c, sched_shard),
-                    samp1, samp2, logp0,
+                    samp1, logp0,
                 )
                 from gru4rec_tpu.train.step import TrainState
 
@@ -297,6 +293,9 @@ class GRU4Rec:
         data_items = data["ItemIdx"].values.astype(np.int32)
         C = cfg.chunk_size
         epochs = cfg.n_epochs if n_epochs is None else n_epochs
+        # host-side eval-schedule memo for in-fit validation: the same
+        # eval_data frame is prepped once, not once per epoch
+        eval_sched_cache: dict = {}
 
         cached_chunks = None
         for epoch in range(start_epoch, epochs):
@@ -344,7 +343,7 @@ class GRU4Rec:
             for ci in range(len(ends)):
                 in_c, out_c, valid_c, reset_c = _get_chunk(stacks, ci)
                 state, ls, ec = chunk_fn(
-                    state, in_c, out_c, valid_c, reset_c, samp1, samp2, logp0,
+                    state, in_c, out_c, valid_c, reset_c, samp1, logp0,
                 )
                 loss_parts.append(ls)
                 ev_parts.append(ec)
@@ -399,6 +398,7 @@ class GRU4Rec:
                         batch_size=eval_batch_size, mode=eval_mode,
                         session_key=session_key, item_key=item_key,
                         time_key=time_key, mesh=mesh,
+                        _sched_cache=eval_sched_cache,
                     )
                 finally:
                     # even if evaluate() raises: never leave self.params

@@ -97,3 +97,19 @@ def sample_negatives(key, cdf, n_steps: int, n_sample: int, n_items: int,
     idx = jnp.searchsorted(cdf, u, side="left").astype(jnp.int32)
     idx = jnp.minimum(idx, n_items - 1)
     return idx.reshape(n_steps, n_sample)
+
+
+def draw_negatives(key, samp1, n_steps: int, n_sample: int, n_items: int,
+                   sample_alpha: float, sampler: str):
+    """The per-chunk negative draw: ONE dispatch over (sample_alpha,
+    sampler) shared by the single-chip and distributed train steps.
+    ``samp1`` is the packed alias table for ``sampler="alias"``, the CDF
+    otherwise (ignored when ``sample_alpha == 0`` — uniform fast path,
+    reference gru4rec.py:507-511)."""
+    if sample_alpha == 0.0:
+        return jax.random.randint(key, (n_steps, n_sample), 0, n_items,
+                                  dtype=jnp.int32)
+    if sampler == "alias":
+        return sample_negatives_alias(key, AliasTable(samp1), n_steps, n_sample)
+    return sample_negatives(key, samp1, n_steps, n_sample, n_items,
+                            sample_alpha)

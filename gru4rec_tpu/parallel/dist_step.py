@@ -30,11 +30,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.models import gru
 from gru4rec_tpu.ops.losses import get_loss
-from gru4rec_tpu.ops.sampling import (AliasTable, sample_negatives,
-                                       sample_negatives_alias)
+from gru4rec_tpu.ops.sampling import draw_negatives
 from gru4rec_tpu.parallel.mesh import param_pspecs, state_pspecs
 from gru4rec_tpu.train.optimizers import make_optimizer
-from gru4rec_tpu.train.step import SENTINEL, init_train_state, merge_dense, split_params
+from gru4rec_tpu.train.step import (SENTINEL, SR_TABLE_SALT, init_train_state,
+                                    merge_dense, split_params)
 
 
 # Per-shard scratch rows appended to every row-shard of an item table: the
@@ -188,7 +188,7 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
     B_local = B // nd
 
     def chunk_body(params, opt_state, H, key, step, in_c, out_c, valid_c, reset_c,
-                   samp1, samp2, logp0):
+                   samp1, logp0):
         # local shard = n_pad//nm real rows + SCRATCH_ROWS kernel scratch rows
         rows_local = params["Wy"].shape[0] - SCRATCH_ROWS
         mi = jax.lax.axis_index("model")
@@ -207,15 +207,8 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
         if n_sample > 0:
             # identical on every device: replicated key
             neg_key = jax.random.fold_in(jax.random.fold_in(key, 1), step)
-            if cfg.sample_alpha == 0.0:
-                neg = jax.random.randint(neg_key, (chunk, n_sample), 0, n_items,
-                                         dtype=jnp.int32)
-            elif cfg.sampler == "alias":
-                neg = sample_negatives_alias(
-                    neg_key, AliasTable(samp1), chunk, n_sample)
-            else:
-                neg = sample_negatives(neg_key, samp1, chunk, n_sample, n_items,
-                                       cfg.sample_alpha)
+            neg = draw_negatives(neg_key, samp1, chunk, n_sample, n_items,
+                                 cfg.sample_alpha, cfg.sampler)
         else:
             neg = jnp.zeros((chunk, 0), jnp.int32)
 
@@ -351,9 +344,11 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
                 # base_key (replicated) + the shard's global row offset:
                 # stochastic rounding hashes global (row, col) cells, so the
                 # sharded run rounds bit-identically to the single-chip one
+                sr_key = (jax.random.fold_in(base_key, SR_TABLE_SALT[name])
+                          if opt.state_sr else base_key)
                 table, new_sparse_state[name] = opt.apply_sparse(
                     table, idx_l, g, opt_state["sparse"][name],
-                    key=base_key, sr_row_offset=r0, allow_kernel=True,
+                    key=sr_key, sr_row_offset=r0, allow_kernel=True,
                 )
                 if name == "Wx0":
                     new_params["Wx"] = [table] + list(new_params["Wx"][1:])
@@ -385,7 +380,7 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
     sched_spec = P(None, "data")
     in_specs = (
         pspec, sspec, h_spec, P(), P(),
-        sched_spec, sched_spec, sched_spec, sched_spec, P(None), P(None), P(None),
+        sched_spec, sched_spec, sched_spec, sched_spec, P(None), P(None),
     )
     out_specs = (pspec, sspec, h_spec, P(), P(), P(), P())
     del dummy

@@ -26,8 +26,7 @@ import numpy as np
 from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.models import gru
 from gru4rec_tpu.ops.losses import get_loss
-from gru4rec_tpu.ops.sampling import (AliasTable, sample_negatives,
-                                       sample_negatives_alias)
+from gru4rec_tpu.ops.sampling import draw_negatives
 from gru4rec_tpu.train.optimizers import make_optimizer
 
 SENTINEL = np.iinfo(np.int32).max
@@ -93,6 +92,17 @@ def _state_name(srow_name: str) -> str:
     return {"WyS": "Wy"}.get(srow_name, srow_name)
 
 
+# Per-table salt folded into the step key before stochastic-rounding dither
+# derivation (opt_state_dtype="bfloat16_sr"): without it, every sparse table
+# updated in the same step would share one dither stream (identical
+# (seed, row, col) hashes), perfectly correlating their rounding noise.
+# Keyed on STATE names so the single-chip and distributed steps (which name
+# the constrained-mode update "WyS" vs "Wy") fold identically and stay
+# bit-identical. Dropout keys come from jax.random.split, not fold_in, so
+# these cannot collide with them.
+SR_TABLE_SALT = {"Wx0": 1, "E": 2, "Wy": 3}
+
+
 def _take_rows2d(table, idx):
     rows = jnp.take(table, idx, axis=0)
     return rows
@@ -101,9 +111,10 @@ def _take_rows2d(table, idx):
 def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
     """Build the jitted per-chunk training function.
 
-    Signature: ``chunk_fn(state, in_c, out_c, valid_c, reset_c, cdf, logp0)
+    Signature: ``chunk_fn(state, in_c, out_c, valid_c, reset_c, samp1, logp0)
     -> (state, loss_weighted_sum, event_count)`` where the ``*_c`` arrays are
-    (chunk, B) schedule slices. Loss bookkeeping follows the reference: the
+    (chunk, B) schedule slices and ``samp1`` is the sampler table (packed
+    alias table or CDF; unused content when ``n_sample == 0``). Loss bookkeeping follows the reference: the
     per-step cost is already divided by the *static* batch size
     (gru4rec.py:577) and epoch averages weight steps by live-lane count
     (gru4rec.py:654).
@@ -115,20 +126,13 @@ def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
     n_sample = cfg.n_sample
     use_logq = bool(cfg.logq)
 
-    def chunk_fn(state: TrainState, in_c, out_c, valid_c, reset_c, samp1, samp2,
+    def chunk_fn(state: TrainState, in_c, out_c, valid_c, reset_c, samp1,
                  logp0):
         chunk = in_c.shape[0]
         if n_sample > 0:
             neg_key = jax.random.fold_in(jax.random.fold_in(state.key, 1), state.step)
-            if cfg.sample_alpha == 0.0:
-                neg = jax.random.randint(neg_key, (chunk, n_sample), 0, n_items,
-                                         dtype=jnp.int32)
-            elif cfg.sampler == "alias":
-                neg = sample_negatives_alias(
-                    neg_key, AliasTable(samp1), chunk, n_sample)
-            else:
-                neg = sample_negatives(neg_key, samp1, chunk, n_sample, n_items,
-                                       cfg.sample_alpha)
+            neg = draw_negatives(neg_key, samp1, chunk, n_sample, n_items,
+                                 cfg.sample_alpha, cfg.sampler)
         else:
             neg = jnp.zeros((chunk, 0), jnp.int32)
 
@@ -245,8 +249,10 @@ def make_chunk_fn(cfg: GRU4RecConfig, n_items: int):
                     table = new_params["Wy"]
                 else:
                     table = new_params[name]
+                sr_key = (jax.random.fold_in(step_key, SR_TABLE_SALT[sname])
+                          if opt.state_sr else step_key)
                 table, new_sparse_state[sname] = opt.apply_sparse(
-                    table, idx, g, opt_state["sparse"][sname], key=step_key
+                    table, idx, g, opt_state["sparse"][sname], key=sr_key
                 )
                 if name == "Wx0":
                     new_params["Wx"] = [table] + list(new_params["Wx"][1:])

@@ -79,17 +79,16 @@ def run(shape_name, adapt="adagrad", force_pallas=None,
     logp0 = np.zeros(n_pad, np.float32)
     logp0[:n_items] = np.log(pop.astype(np.float64))
     samp1 = build_alias_table(pop, cfg.sample_alpha).packed
-    samp2 = jnp.zeros((1,), jnp.int32)
     logp0_j = jnp.asarray(logp0)
     args = tuple(jnp.asarray(a) for a in (in_c, out_c, valid, reset))
 
     state = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
     fn = make_chunk_fn(cfg, n_items)
-    state, ls, ec = fn(state, *args, samp1, samp2, logp0_j)  # compile+warm
+    state, ls, ec = fn(state, *args, samp1, logp0_j)  # compile+warm
     float(ls)
     t0 = time.time()
     for _ in range(N_CHUNKS):
-        state, ls, ec = fn(state, *args, samp1, samp2, logp0_j)
+        state, ls, ec = fn(state, *args, samp1, logp0_j)
     float(ls)
     dt = time.time() - t0
     us_per_step = dt / (N_CHUNKS * CHUNK) * 1e6

@@ -57,16 +57,15 @@ def main(shape, adapt, force, trace_dir):
     logp0 = np.zeros(n_pad, np.float32)
     logp0[:n_items] = np.log(pop.astype(np.float64))
     samp1 = build_alias_table(pop, cfg.sample_alpha).packed
-    samp2 = jnp.zeros((1,), jnp.int32)
     logp0 = jnp.asarray(logp0)
 
     state = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
     fn = make_chunk_fn(cfg, n_items)
-    state, ls, _ = fn(state, in_c, out_c, valid, reset, samp1, samp2, logp0)
+    state, ls, _ = fn(state, in_c, out_c, valid, reset, samp1, logp0)
     float(ls)
     with jax.profiler.trace(trace_dir):
         for _ in range(2):
-            state, ls, _ = fn(state, in_c, out_c, valid, reset, samp1, samp2, logp0)
+            state, ls, _ = fn(state, in_c, out_c, valid, reset, samp1, logp0)
         float(ls)
 
     files = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")

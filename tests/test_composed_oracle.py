@@ -74,7 +74,6 @@ def run_cell(cfg_kwargs, n_steps=12, B=5, n_items=48, seed=0, masked=False,
         samp1 = jnp.asarray(popularity_cdf(pop, cfg.sample_alpha))
     else:
         samp1 = jnp.zeros((1,), jnp.float32)
-    samp2 = jnp.zeros((1,), jnp.int32)
     logp0_j = jnp.asarray(logp0)
 
     chunk_fn = make_chunk_fn(cfg, n_items)
@@ -103,7 +102,7 @@ def run_cell(cfg_kwargs, n_steps=12, B=5, n_items=48, seed=0, masked=False,
         state, ls, ec = chunk_fn(
             state, jnp.asarray(in_c[t:t + 1]), jnp.asarray(out_c[t:t + 1]),
             jnp.asarray(valid[t:t + 1]), jnp.asarray(reset[t:t + 1]),
-            samp1, samp2, logp0_j,
+            samp1, logp0_j,
         )
         M = valid[t].sum()
         costs_fw.append(float(ls) / M)

@@ -29,9 +29,8 @@ def _mk_inputs(cfg, n_items, seed=0):
     reset_c[2, :2] = True
     n_pad = ((n_items + cfg.item_pad_multiple - 1) // cfg.item_pad_multiple) * cfg.item_pad_multiple
     cdf = np.linspace(0.01, 1.0, n_items, dtype=np.float32)
-    samp2 = np.zeros((1,), np.int32)
     logp0 = np.abs(rng.randn(n_pad)).astype(np.float32) + 0.1
-    return in_c, out_c, valid_c, reset_c, cdf, samp2, logp0
+    return in_c, out_c, valid_c, reset_c, cdf, logp0
 
 
 def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad"):
@@ -57,7 +56,7 @@ def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad"):
     # PRNGKey per state)
     s1 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
     f1 = make_chunk_fn(cfg, n_items)
-    s1, loss1, ev1 = f1(s1, *args[:4], args[4], args[5], args[6])
+    s1, loss1, ev1 = f1(s1, *args)
 
     # 2 data x 4 model mesh
     nm = 4
@@ -65,7 +64,7 @@ def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad"):
     s2 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
     s2 = shard_train_state(s2, cfg, mesh)
     f2 = make_dist_chunk_fn(cfg, n_items, mesh)
-    out = f2(s2.params, s2.opt_state, s2.H, s2.key, s2.step, *args[:4], args[4], args[5], args[6])
+    out = f2(s2.params, s2.opt_state, s2.H, s2.key, s2.step, *args)
     params2, _, H2, _, _, loss2, ev2 = out
     strip = lambda a: np.asarray(_strip_scratch(a, nm))
 

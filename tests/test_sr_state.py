@@ -263,11 +263,13 @@ def test_sr_xla_vs_f32_oracle_statistical():
 # --------------------------------------------------------------------- #
 # distributed
 def test_sr_dist_matches_single_device():
-    """Row-sharded SR rounds bit-identically to single-chip: the dither
-    hashes GLOBAL (row, col) cells via the shard row offset, and the dist
-    step hands apply_sparse the REPLICATED base key. State is compared
-    bitwise (bf16 grid absorbs the f32 psum-order noise of the gradients);
-    adam counts must match exactly."""
+    """Row-sharded SR uses the SAME rounding decisions as single-chip: the
+    dither hashes GLOBAL (row, col) cells via the shard row offset, and the
+    dist step hands apply_sparse the REPLICATED base key. The f32 update
+    values themselves differ by psum-reassociation noise (~1e-8 relative),
+    which can push a cell across a rounding boundary — so the contract is
+    bitwise equality on all but a rare handful of cells, every exception
+    exactly one bf16 ULP, and adam counts (exact integers) equal exactly."""
     from gru4rec_tpu.parallel.dist_step import (_strip_scratch,
                                                 make_dist_chunk_fn,
                                                 shard_train_state)
@@ -290,10 +292,9 @@ def test_sr_dist_matches_single_device():
     n_pad = ((n_items + cfg.item_pad_multiple - 1)
              // cfg.item_pad_multiple) * cfg.item_pad_multiple
     cdf = np.linspace(0.01, 1.0, n_items, dtype=np.float32)
-    samp2 = np.zeros((1,), np.int32)
     logp0 = np.abs(rng.randn(n_pad)).astype(np.float32) + 0.1
     args = tuple(jnp.asarray(a) for a in
-                 (in_c, out_c, valid_c, reset_c, cdf, samp2, logp0))
+                 (in_c, out_c, valid_c, reset_c, cdf, logp0))
 
     s1 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
     f1 = make_chunk_fn(cfg, n_items)
@@ -316,8 +317,14 @@ def test_sr_dist_matches_single_device():
     c1 = acc1[:, 2 * d:2 * d + 3].astype(np.float32)
     c2 = acc2[:, 2 * d:2 * d + 3].astype(np.float32)
     np.testing.assert_array_equal(c1, c2)
-    # SR state bit-identical (same seed, same global cells)
-    assert np.array_equal(acc1.view(np.uint8), acc2.view(np.uint8))
+    # EMA halves: bitwise-equal except rare psum-reassociation boundary
+    # flips, each exactly one bf16 ULP (uint16 bit patterns of same-sign
+    # bf16 neighbors differ by 1)
+    b1 = acc1.view(np.uint16).astype(np.int32)
+    b2 = acc2.view(np.uint16).astype(np.int32)
+    neq = b1 != b2
+    assert neq.mean() < 1e-3, neq.mean()
+    assert np.abs(b1 - b2)[neq].max(initial=0) <= 1
 
 
 # --------------------------------------------------------------------- #
