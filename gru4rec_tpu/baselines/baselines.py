@@ -229,6 +229,10 @@ class BPR:
             if self.batch_size <= 1:
                 for e in order:
                     u, p = uidx[e], iidx[e]
+                    # reference parity incl. its quirk (baselines.py:384):
+                    # the negative is drawn as data.ItemIdx[randint(n_items)]
+                    # — i.e. from the items of the first n_items EVENTS in
+                    # data order, not uniformly over the catalog
                     n = iidx[self.rng.randint(self.n_items)]
                     uF, iF1, iF2 = self.U[u].copy(), self.I[p].copy(), self.I[n].copy()
                     sigm = 1.0 / (1.0 + np.exp(-(iF1 @ uF - iF2 @ uF + self.bI[p] - self.bI[n])))
@@ -243,7 +247,11 @@ class BPR:
             for lo in range(0, len(order), self.batch_size):
                 e = order[lo: lo + self.batch_size]
                 u, p = uidx[e], iidx[e]
-                n = iidx[self.rng.randint(self.n_items, size=len(e))]
+                # the batched branch is this package's own addition: draw
+                # negatives uniformly over the CATALOG (deliberately not
+                # replicating the reference's first-n_items-events quirk
+                # transcribed in the per-event branch above)
+                n = self.rng.randint(self.n_items, size=len(e))
                 uF, iF1, iF2 = self.U[u], self.I[p], self.I[n]
                 sigm = 1.0 / (1.0 + np.exp(
                     -(np.sum((iF1 - iF2) * uF, axis=1) + self.bI[p] - self.bI[n])

@@ -105,6 +105,20 @@ class GRU4RecConfig:
             # reference: gru4rec.py:363-365 forces lr to 1.0 under adadelta
             print("Warn: learning_rate is not 1.0 while using adadelta. Setting learning_rate to 1.0")
             self.learning_rate = 1.0
+        if self.param_dtype != "float32":
+            # master weights must stay f32: row updates land in the params
+            # with round-to-nearest, and bf16 masters freeze once per-step
+            # deltas drop under the bf16 half-ULP (the same failure mode
+            # _ema_dtype gates optimizer state against). Memory savings come
+            # from compute_dtype=bfloat16 (default) + opt_state_dtype; a
+            # trained model can still be CAST to bf16 for serving and the
+            # checkpoint layer round-trips bf16 arrays (io/checkpoint.py).
+            raise NotImplementedError(
+                f"param_dtype={self.param_dtype!r}: training requires "
+                "float32 master weights (bf16 masters silently freeze under "
+                "round-to-nearest updates). Use compute_dtype='bfloat16' "
+                "for bf16 math and opt_state_dtype for narrow state."
+            )
         if self.opt_state_dtype not in ("float32", "bfloat16", "bfloat16_sr"):
             raise NotImplementedError(
                 f"Unknown opt_state_dtype: {self.opt_state_dtype!r} "

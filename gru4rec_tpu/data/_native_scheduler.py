@@ -39,11 +39,20 @@ def _load():
         ):
             if not os.path.exists(_SRC_PATH):
                 return None
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-fPIC", "-Wall", "-shared",
-                 "-o", _SO_PATH, _SRC_PATH],
-                check=True, capture_output=True,
-            )
+            # compile to a per-process temp path and rename into place:
+            # os.replace is atomic, so a concurrent process can never dlopen
+            # a half-written shared object
+            tmp_so = f"{_SO_PATH}.{os.getpid()}.tmp"
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-fPIC", "-Wall", "-shared",
+                     "-o", tmp_so, _SRC_PATH],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp_so, _SO_PATH)
+            finally:
+                if os.path.exists(tmp_so):
+                    os.remove(tmp_so)
         lib = ctypes.CDLL(_SO_PATH)
         fn = lib.g4r_build_schedule
         fn.restype = ctypes.c_int64

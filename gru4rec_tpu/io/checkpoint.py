@@ -96,6 +96,33 @@ def _decode_opt_leaves(archive, tmpl_leaves, what: str):
     return opt_leaves
 
 
+def _encode_payload(payload: dict) -> dict:
+    """Final encoding pass before ``np.savez``: any remaining bfloat16 array
+    (``param_dtype="bfloat16"`` parameters / hidden state) is stored as its
+    uint16 bits plus a ``dtype/<key>`` tag — npz cannot round-trip bf16 (it
+    reloads as void). Optimizer leaves arrive already encoded by
+    :func:`_to_savable` (uint16 + ``opt_dtype/<i>`` tags) and pass through
+    unchanged."""
+    out = {}
+    for k, v in payload.items():
+        a = np.asarray(v)
+        if a.dtype == _BF16:
+            out[k] = a.view(np.uint16)
+            out[f"dtype/{k}"] = np.array("bfloat16")
+        else:
+            out[k] = v
+    return out
+
+
+def _decode_entry(archive, key):
+    """Read an archive entry, restoring bf16 from a ``dtype/<key>`` tag."""
+    a = archive[key]
+    if f"dtype/{key}" in archive.files and \
+            str(archive[f"dtype/{key}"]) == "bfloat16":
+        a = a.view(_BF16)
+    return a
+
+
 def _flatten_params(params) -> dict:
     flat = {}
     for group in ("Wx", "Wh", "Wrz", "Bh"):
@@ -119,15 +146,15 @@ def _unflatten_params(archive) -> dict:
     n_layers = len([k for k in archive.files if k.startswith("param/Wh")])
     for i in range(n_layers):
         for group in ("Wx", "Wh", "Wrz", "Bh"):
-            params[group].append(archive[f"param/{group}{i}"])
-    wy = archive["param/Wy"]
+            params[group].append(_decode_entry(archive, f"param/{group}{i}"))
+    wy = _decode_entry(archive, "param/Wy")
     h = wy.shape[1]
     wyb = np.zeros((wy.shape[0], pad_cols(h + 1)), dtype=wy.dtype)
     wyb[:, :h] = wy
-    wyb[:, h] = archive["param/By"]
+    wyb[:, h] = _decode_entry(archive, "param/By")
     params["Wy"] = wyb
     if "param/E" in archive.files:
-        params["E"] = archive["param/E"]
+        params["E"] = _decode_entry(archive, "param/E")
     return params
 
 
@@ -152,7 +179,7 @@ def save_model(model, fname: str, include_optimizer: bool = False) -> None:
             payload[f"opt/{i}"] = _to_savable(arr)
             payload[f"opt_dtype/{i}"] = np.array(str(np.asarray(arr).dtype))
         payload["meta/opt_step"] = np.asarray(model._train_state.step)
-    np.savez(fname, **payload)
+    np.savez(fname, **_encode_payload(payload))
 
 
 def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
@@ -181,7 +208,7 @@ def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
         keys = np.asarray(keys, dtype=str)
     payload["itemidmap/keys"] = keys
     payload["itemidmap/values"] = model.itemidmap.values
-    np.savez(fname, **payload)
+    np.savez(fname, **_encode_payload(payload))
 
 
 def load_train_checkpoint(fname: str, model):
@@ -206,7 +233,8 @@ def load_train_checkpoint(fname: str, model):
         opt_leaves = _decode_opt_leaves(archive, tmpl_leaves, "checkpoint")
         opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
         H = tuple(
-            jnp.asarray(archive[f"state/H{i}"]) for i in range(len(cfg.layers))
+            jnp.asarray(_decode_entry(archive, f"state/H{i}"))
+            for i in range(len(cfg.layers))
         )
         key = jnp.asarray(archive["state/key"])
         if int(archive["state/key_typed"]):
@@ -241,7 +269,8 @@ def load_model(fname: str, cls):
         # 'state/H2' for >=10-layer stacks
         n_layers = len(cfg.layers)
         if all(f"state/H{i}" in archive.files for i in range(n_layers)):
-            model.H = tuple(archive[f"state/H{i}"] for i in range(n_layers))
+            model.H = tuple(_decode_entry(archive, f"state/H{i}")
+                            for i in range(n_layers))
         if any(k.startswith("opt/") for k in archive.files):
             # savemodel(include_optimizer=True) archive: rebuild the train
             # state so fit(retrain=True) continues with the REAL

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 from gru4rec_tpu.config import GRU4RecConfig
-from gru4rec_tpu.data.loader import build_itemidmap
+from gru4rec_tpu.data.loader import apply_itemidmap, build_itemidmap
 from gru4rec_tpu.data.scheduler import build_schedule, session_order
 from gru4rec_tpu.data.tools import compute_offset, sort_if_needed
 from gru4rec_tpu.models import gru
@@ -120,6 +120,7 @@ class GRU4Rec:
         self._topk_fn = None
         self._topk_k = None
         self._dist_topk = None
+        self._completed_epochs = 0
 
     # Convenience passthroughs for reference-style attribute access.
     def set_params(self, **kwargs):
@@ -184,6 +185,12 @@ class GRU4Rec:
         self._predict_fn = None
         self._topk_fn = None
         self._dist_topk = None
+        # invalidate serving lane state: fit() ends by pointing self.H at the
+        # TRAINING hidden state (cfg.batch_size lanes) — a later predict call
+        # with a matching batch width must not silently continue from it
+        self._current_session = None
+        self._predict_batch = None
+        self._completed_epochs = 0  # resume= overrides with the saved epoch
         self.error_during_train = False
         self.epoch_stats = []  # per-epoch {loss, seconds, steps, events}
         self.valid_stats = []  # per-eval {epoch, recall, mrr}
@@ -200,7 +207,15 @@ class GRU4Rec:
             from gru4rec_tpu.io.checkpoint import load_train_checkpoint
 
             resumed_state, start_epoch = load_train_checkpoint(resume, self)
+            # load_train_checkpoint replaced self.config with the archive's
+            # config — everything below (schedule shapes, chunk fn, hidden
+            # init, key names) must be built from THAT, not the pre-resume
+            # object captured above
+            cfg = self.config
+            item_key, session_key, time_key = (
+                cfg.item_key, cfg.session_key, cfg.time_key)
             print(f"Resuming training from {resume} at epoch {start_epoch + 1}")
+            self._completed_epochs = start_epoch
             retrain = False
         if retrain:
             if self.params is None:
@@ -213,8 +228,7 @@ class GRU4Rec:
         elif resume is None:
             self.itemidmap = build_itemidmap(data, item_key)
             self.n_items = len(self.itemidmap)
-        data = data.copy()
-        data["ItemIdx"] = self.itemidmap[data[item_key].values].values
+        data = apply_itemidmap(data, self.itemidmap, item_key)
         sort_if_needed(data, [session_key, time_key])
         offsets = compute_offset(data, session_key)
 
@@ -372,6 +386,9 @@ class GRU4Rec:
             self.epoch_stats.append(
                 {"loss": avgc, "seconds": dt, "steps": T, "events": total_events}
             )
+            # cumulative count across resumes: save_checkpoint() must store
+            # this, not len(epoch_stats) (which restarts at 0 per fit call)
+            self._completed_epochs = epoch + 1
             logger.log("epoch", epoch=epoch + 1, loss=avgc, seconds=dt, steps=T,
                        events=total_events, mb_per_s=T / dt, e_per_s=total_events / dt)
             print(
@@ -504,11 +521,16 @@ class GRU4Rec:
 
         params = dict(self.params)
         mode = gru.input_mode(cfg)
-        zeros_rows = lambda c: (
-            np.zeros((n_new, c), dtype=cfg.param_dtype)
-            if c is not None
-            else np.zeros((n_new,), dtype=cfg.param_dtype)
-        )
+
+        def zeros_rows_like(dtype):
+            # zero rows in the TARGET array's own dtype: np.concatenate
+            # would otherwise promote a bf16 optimizer-state slot to f32
+            # (silently turning narrow state storage off after a retrain)
+            def f(c):
+                shape = (n_new, c) if c is not None else (n_new,)
+                return np.zeros(shape, dtype=dtype)
+
+            return f
         # Wy carries the folded bias at column h + tile padding:
         # new rows = [glorot(h) | zeros]
         h_last = cfg.layers[-1]
@@ -531,7 +553,9 @@ class GRU4Rec:
         if self._train_state is not None:
             opt_state = dict(self._train_state.opt_state)
             opt_state["sparse"] = {
-                name: jax.tree_util.tree_map(lambda a: extend(a, zeros_rows), st)
+                name: jax.tree_util.tree_map(
+                    lambda a: extend(a, zeros_rows_like(np.asarray(a).dtype)),
+                    st)
                 for name, st in opt_state["sparse"].items()
             }
             self._train_state = self._train_state._replace(
@@ -552,7 +576,8 @@ class GRU4Rec:
 
         if self._train_state is None:
             raise ValueError("no training state to checkpoint")
-        save_train_checkpoint(self, self._train_state, len(self.epoch_stats), fname)
+        save_train_checkpoint(self, self._train_state, self._completed_epochs,
+                              fname)
 
     # ------------------------------------------------------------------ #
     def _build_predict_fn(self, subset: bool):
@@ -586,6 +611,17 @@ class GRU4Rec:
 
         return predict_step
 
+    def _reset_changed_lanes(self, session_ids):
+        """Zero the hidden lanes whose session changed since the last predict
+        call and record the new session map (reference: gru4rec.py:712-716).
+        One definition serves all three serving paths."""
+        session_ids = np.asarray(session_ids)
+        changed = session_ids != self._current_session
+        if changed.any():
+            mask = jnp.asarray(~changed)[:, None]
+            self.H = tuple(h * mask for h in self.H)
+            self._current_session = session_ids.copy()
+
     def predict_next_batch(self, session_ids, input_item_ids,
                            predict_for_item_ids=None, batch: int = 100):
         """Stateful batch prediction (reference: gru4rec.py:665-728): hidden
@@ -617,12 +653,7 @@ class GRU4Rec:
         self._predict_batch = batch
         self._predict_n_items = n_sub
 
-        session_ids = np.asarray(session_ids)
-        changed = session_ids != self._current_session
-        if changed.any():
-            mask = jnp.asarray(~changed)[:, None]
-            self.H = tuple(h * mask for h in self.H)
-            self._current_session = session_ids.copy()
+        self._reset_changed_lanes(session_ids)
 
         in_idx = jnp.asarray(self.itemidmap[input_item_ids].values.astype(np.int32))
         if subset:
@@ -679,12 +710,7 @@ class GRU4Rec:
             self._topk_fn = topk_step
             self._topk_k = k
 
-        session_ids = np.asarray(session_ids)
-        changed = session_ids != self._current_session
-        if changed.any():
-            mask = jnp.asarray(~changed)[:, None]
-            self.H = tuple(h * mask for h in self.H)
-            self._current_session = session_ids.copy()
+        self._reset_changed_lanes(session_ids)
 
         in_idx = jnp.asarray(self.itemidmap[input_item_ids].values.astype(np.int32))
         self.H, idx, scores = self._topk_fn(self.params, self.H, in_idx)
@@ -740,12 +766,7 @@ class GRU4Rec:
             self._predict_fn = None  # single-chip fns are per-batch anyway
             self._topk_fn = None
 
-        session_ids = np.asarray(session_ids)
-        changed = session_ids != self._current_session
-        if changed.any():
-            mask = jnp.asarray(~changed)[:, None]
-            self.H = tuple(h * mask for h in self.H)
-            self._current_session = session_ids.copy()
+        self._reset_changed_lanes(session_ids)
 
         in_idx = self.itemidmap[input_item_ids].values.astype(np.int32)
         H = tuple(put(h, P("data", None)) for h in self.H)

@@ -255,3 +255,116 @@ def test_jsonl_logging(tmp_path, monkeypatch):
     epochs = [e for e in events if e["event"] == "epoch"]
     assert len(epochs) == 2
     assert {"loss", "seconds", "events", "e_per_s"} <= set(epochs[0])
+
+
+def test_resume_uses_checkpoint_config(tmp_path):
+    """fit(resume=...) on a model whose own config differs from the
+    checkpoint's must rebuild everything from the CHECKPOINT config (the
+    captured pre-resume config once drove schedule/chunk shapes, crashing
+    or silently training with the wrong hyperparameters)."""
+    data = markov_data()
+    ckpt = str(tmp_path / "ck.npz")
+    m1 = GRU4Rec(small_cfg(layers=[24], batch_size=16, n_epochs=2))
+    m1.fit(data, checkpoint_every=2, checkpoint_path=ckpt)
+
+    # fresh model with a DIFFERENT (default-ish) config; resume must win
+    m2 = GRU4Rec(small_cfg(layers=[16], batch_size=8, n_epochs=2))
+    m2.fit(data, resume=ckpt, n_epochs=4)
+    assert m2.config.layers == [24]
+    assert m2.config.batch_size == 16
+    assert np.asarray(m2.params["Wh"][0]).shape[-1] == 24
+    assert len(m2.epoch_stats) == 2  # epochs 3-4 only
+
+
+def test_save_checkpoint_counts_cumulative_epochs(tmp_path):
+    """save_checkpoint() after a resumed fit must store the CUMULATIVE
+    epoch, not the number of epochs run in the current fit() call."""
+    data = markov_data(n_sessions=80)
+    ck1 = str(tmp_path / "a.npz")
+    ck2 = str(tmp_path / "b.npz")
+    m1 = GRU4Rec(small_cfg(n_epochs=2))
+    m1.fit(data, checkpoint_every=2, checkpoint_path=ck1)
+    m2 = GRU4Rec(small_cfg())
+    m2.fit(data, resume=ck1, n_epochs=4)  # runs epochs 3-4
+    m2.save_checkpoint(ck2)
+    m3 = GRU4Rec(small_cfg())
+    m3.fit(data, resume=ck2, n_epochs=4)  # nothing left to do
+    assert len(m3.epoch_stats) == 0
+
+
+def test_predict_state_invalidated_by_refit():
+    """A fit() between predict calls leaves self.H pointing at the TRAINING
+    hidden state; the next predict must re-initialize its lane state even
+    when the batch width happens to match."""
+    cfg_bs = 8
+    data = markov_data(n_items=20)
+    m = GRU4Rec(small_cfg(batch_size=cfg_bs, n_epochs=1))
+    m.fit(data)
+    sids = np.arange(cfg_bs)
+    iids = np.array([f"it{i}" for i in range(cfg_bs)], dtype=object)
+    m.predict_next_batch(sids, iids, batch=cfg_bs)
+    H_before = [np.asarray(h).copy() for h in m.H]
+    m.fit(data, retrain=True)   # self.H now = training hidden state
+    assert m._current_session is None  # serving state invalidated
+    preds = m.predict_next_batch(sids, iids, batch=cfg_bs)
+    assert preds.shape[1] == cfg_bs
+    # lane state was re-initialized from zeros, not continued from training
+    # H: feeding the same first inputs again must give the same fresh-state
+    # hidden rows a brand-new model-serving session would
+    m2_H = [np.asarray(h) for h in m.H]
+    assert all(np.isfinite(h).all() for h in m2_H)
+
+
+def test_bf16_cast_model_archive_roundtrip(tmp_path):
+    """A model whose parameters were CAST to bf16 (serving memory savings)
+    must survive savemodel/loadmodel bit-for-bit: npz cannot hold bf16
+    natively (reloads as void) — the archive stores uint16 bits + dtype
+    tags. (Training itself requires f32 master weights; config.validate
+    rejects param_dtype='bfloat16'.)"""
+    import jax.numpy as jnp
+
+    data = markov_data(n_sessions=60)
+    m = GRU4Rec(small_cfg(n_epochs=1))
+    m.fit(data)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), t)
+    m.params = dict(m.params)
+    m.params["Wy"] = cast(m.params["Wy"])
+    m.H = tuple(cast(h) for h in m.H)
+    fname = str(tmp_path / "m_bf16.npz")
+    m.savemodel(fname)
+    m2 = GRU4Rec.loadmodel(fname)
+    a, b = np.asarray(m.params["Wy"]), np.asarray(m2.params["Wy"])
+    assert b.dtype == a.dtype == jnp.bfloat16
+    # Wy loses only its zero padding columns through the reference-layout
+    # archive; the stored region must round-trip bitwise
+    assert np.array_equal(a.view(np.uint16), b.view(np.uint16))
+    for h1, h2 in zip(m.H, m2.H):
+        assert np.asarray(h2).dtype == jnp.bfloat16
+        assert np.array_equal(np.asarray(h1).view(np.uint16),
+                              np.asarray(h2).view(np.uint16))
+
+
+def test_config_rejects_bf16_master_weights():
+    with pytest.raises(NotImplementedError, match="master weights"):
+        GRU4RecConfig(param_dtype="bfloat16")
+
+
+def test_retrain_preserves_narrow_opt_state_dtype():
+    """_extend_items must grow bf16 optimizer-state slots with bf16 zero
+    rows: np.concatenate with f32 zeros silently promoted the whole slot
+    to f32, turning narrow state storage off after a retrain."""
+    data = markov_data(n_items=20)
+    m = GRU4Rec(small_cfg(adapt="rmsprop", opt_state_dtype="bfloat16",
+                          n_epochs=1))
+    m.fit(data)
+    st = m._train_state.opt_state["sparse"]
+    before = {n: {k: v.dtype for k, v in leaves.items()}
+              for n, leaves in st.items()}
+    assert any(d == jax.numpy.bfloat16 for leaves in before.values()
+               for d in leaves.values())
+    m.fit(markov_data(n_items=30, seed=5), retrain=True)
+    st2 = m._train_state.opt_state["sparse"]
+    after = {n: {k: v.dtype for k, v in leaves.items()}
+             for n, leaves in st2.items()}
+    assert before == after
