@@ -60,7 +60,9 @@ class Parameter:
         else:
             v = float(rng.uniform(lo, hi))
         if self.step:
-            v = lo + round((v - lo) / self.step) * self.step
+            # snap to the grid, then clamp: a draw near hi can round to the
+            # next grid point ABOVE the declared range
+            v = min(lo + round((v - lo) / self.step) * self.step, hi)
         if self.dtype == "int":
             return int(round(v))
         return round(v, 10)
@@ -150,8 +152,13 @@ def main(argv=None):
                              "over a (data, model) device mesh ('NDxNM' or 'auto').")
     parser.add_argument("-fp", "--fixed_parameters", metavar="PARAM_STRING", type=str, default="")
     parser.add_argument("-opf", "--optuna_parameter_file", metavar="PATH", type=str, required=True)
-    parser.add_argument("-m", "--measure", metavar="AT", type=int, nargs="?", default=20)
-    parser.add_argument("-nt", "--ntrials", metavar="NT", type=int, nargs="?", default=50)
+    # const= so a BARE `-m` / `-nt` keeps the default instead of parsing to
+    # None and crashing every trial (the reference shares nargs='?' without
+    # const, paropt.py:23-24 — a bug there)
+    parser.add_argument("-m", "--measure", metavar="AT", type=int, nargs="?",
+                        default=20, const=20)
+    parser.add_argument("-nt", "--ntrials", metavar="NT", type=int, nargs="?",
+                        default=50, const=50)
     parser.add_argument("-fm", "--final_measure", metavar="AT", type=int, nargs="*", default=[20])
     parser.add_argument("-pm", "--primary_metric", choices=["recall", "mrr"], default="recall")
     parser.add_argument("-e", "--eval_type",
@@ -180,8 +187,14 @@ def main(argv=None):
                 par_space.append(par)
         print("-" * 80)
 
+    # only the import itself is optional: a failure INSIDE the optuna path
+    # (e.g. a missing sqlalchemy for --storage) must surface, not silently
+    # degrade a resumable TPE study to seed-based random search
     try:
         import optuna
+    except ImportError:
+        optuna = None
+    if optuna is not None:
 
         def objective(trial):
             pstr = ",".join(f"{p.name}={p.suggest_optuna(trial)}" for p in par_space)
@@ -213,9 +226,16 @@ def main(argv=None):
         )
         done = len([t for t in study.trials
                     if t.state == optuna.trial.TrialState.COMPLETE])
-        study.optimize(objective, n_trials=max(0, args.ntrials - done))
-        best_params = study.best_params
-    except ImportError:
+        # a diverged/crashed trial (run.py exits without a PRIMARY METRIC
+        # line — routine when the search samples a too-high learning rate)
+        # is recorded as FAILED and the study continues
+        study.optimize(objective, n_trials=max(0, args.ntrials - done),
+                       catch=(RuntimeError,))
+        try:
+            best_params = study.best_params
+        except ValueError:
+            raise RuntimeError("every trial failed; nothing to report")
+    else:
         print("(optuna not installed: using built-in random search)")
         rng = np.random.RandomState(args.seed)
         best_val, best_params = -np.inf, None
@@ -223,9 +243,15 @@ def main(argv=None):
             params = {p.name: p.suggest_random(rng) for p in par_space}
             pstr = ",".join(f"{k}={v}" for k, v in params.items())
             print(f"--- trial {t + 1}/{args.ntrials}: {pstr}")
-            val = run_once(args, pstr)
+            try:
+                val = run_once(args, pstr)
+            except RuntimeError as e:
+                print(f"trial failed ({e}); continuing")
+                continue
             if val > best_val:
                 best_val, best_params = val, params
+        if best_params is None:
+            raise RuntimeError("every trial failed; nothing to report")
         print(f"Best value: {best_val}")
 
     print(f"Best parameters: {best_params}")

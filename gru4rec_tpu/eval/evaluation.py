@@ -223,8 +223,6 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
     """
     from jax.sharding import PartitionSpec as P
 
-    import dataclasses
-
     if tie_mode not in TIE_MODES:
         raise NotImplementedError(f"Unknown tie mode: {tie_mode!r}")
     mode_in = gru.input_mode(cfg)
@@ -244,7 +242,13 @@ def make_dist_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int,
     # element, so ranks are unchanged. (Caveat: activations that CREATE ties,
     # e.g. relu clamping negatives, tie differently than the single-chip
     # evaluator under the conservative/median modes.)
-    cfg = dataclasses.replace(cfg, final_act="linear")
+    # copy.copy, NOT dataclasses.replace: replace re-runs __post_init__
+    # validation, which would spuriously warn about the internal
+    # cross-entropy + linear combination (the scores are never logged here)
+    import copy
+
+    cfg = copy.copy(cfg)
+    cfg.final_act = "linear"
 
     def chunk_body(params, H, in_c, out_c, valid_c, reset_c, rec, mrr, n, key,
                    step, item_idx=None):
@@ -437,8 +441,6 @@ def make_dist_topk_fn(cfg: GRU4RecConfig, n_items: int, k: int, mesh,
     :func:`make_dist_eval_chunk_fn` (serving straight from a live sharded
     train state).
     """
-    import dataclasses
-
     from jax.sharding import PartitionSpec as P
 
     from gru4rec_tpu.ops.activations import get_activation
@@ -456,7 +458,11 @@ def make_dist_topk_fn(cfg: GRU4RecConfig, n_items: int, k: int, mesh,
     act_name = ("softmax" if cfg.final_act == "softmax_logit"
                 else cfg.final_act)
     softmax_head = act_name == "softmax"
-    cfg = dataclasses.replace(cfg, final_act="linear")
+    # copy.copy, not dataclasses.replace: see make_dist_eval_chunk_fn
+    import copy
+
+    cfg = copy.copy(cfg)
+    cfg.final_act = "linear"
 
     def topk_body(params, H, in_idx):
         rows_total = params["Wy"].shape[0]

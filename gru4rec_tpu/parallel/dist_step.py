@@ -93,7 +93,7 @@ def shard_train_state(state, cfg: GRU4RecConfig, mesh):
         expand, state.opt_state["sparse"]
     )
     pspec = param_pspecs(params_x, mode)
-    sspec = state_pspecs(opt_state_x, params_x, mode)
+    sspec = state_pspecs(opt_state_x)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -375,7 +375,7 @@ def make_dist_chunk_fn(cfg: GRU4RecConfig, n_items: int, mesh):
     # --- wire up shard_map specs ---
     dummy = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
     pspec = param_pspecs(dummy.params, mode)
-    sspec = state_pspecs(dummy.opt_state, dummy.params, mode)
+    sspec = state_pspecs(dummy.opt_state)
     h_spec = tuple(P("data", None) for _ in cfg.layers)
     sched_spec = P(None, "data")
     in_specs = (

@@ -54,19 +54,37 @@ def init_distributed(coordinator_address=None, num_processes=None,
 
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    if n_data * n_model > len(devices):
+    n = n_data * n_model
+    if n > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, have {len(devices)}"
+            f"mesh {n_data}x{n_model} needs {n} devices, have {len(devices)}"
         )
-    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    try:
+        # topology-aware placement: the 'model' axis carries a psum on every
+        # training step's row gather, so its neighbors should be
+        # ICI-adjacent — a naive enumeration-order reshape can land them
+        # multi-hop apart on a pod slice
+        from jax.experimental import mesh_utils
+
+        dev = mesh_utils.create_device_mesh((n_data, n_model),
+                                            devices=devices[:n])
+    except Exception:
+        # mesh_utils needs a full homogeneous slice; enumeration order is
+        # still CORRECT (collectives just may ride longer ICI paths)
+        dev = np.asarray(devices[:n]).reshape(n_data, n_model)
     return Mesh(dev, ("data", "model"))
 
 
 def factor_mesh(n_devices: int) -> Tuple[int, int]:
     """Pick a (data, model) split for n devices: prefer a 2-D mesh so both
-    lane parallelism and table sharding are exercised."""
+    lane parallelism and table sharding are exercised — the model axis is
+    capped at 4 and the data axis kept >= 2 whenever the device count
+    allows (a 1 x N mesh has zero lane parallelism)."""
     for n_model in (4, 2, 1):
-        if n_devices % n_model == 0 and n_devices >= n_model:
+        if n_devices % n_model == 0 and n_devices // n_model >= 2:
+            return n_devices // n_model, n_model
+    for n_model in (4, 2, 1):
+        if n_devices % n_model == 0:
             return n_devices // n_model, n_model
     return n_devices, 1
 
@@ -87,8 +105,10 @@ def param_pspecs(params: dict, mode: str) -> dict:
     return specs
 
 
-def state_pspecs(opt_state: dict, params: dict, mode: str) -> dict:
-    """PartitionSpecs for optimizer state, mirroring the parameter layout."""
+def state_pspecs(opt_state: dict) -> dict:
+    """PartitionSpecs for optimizer state, mirroring the parameter layout:
+    every spec derives from the state tree alone (sparse slots row-shard
+    over 'model', dense slots replicate)."""
     dense_specs = jax.tree_util.tree_map(
         lambda leaf: P(*([None] * leaf.ndim)), opt_state["dense"]
     )

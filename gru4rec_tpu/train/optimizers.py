@@ -208,6 +208,12 @@ class Optimizer:
             st["acc"] = zeros(ema(self.v2))
             st["meang"] = zeros(ema(self.v1))
         if self.adapt == "adam" and not merged:
+            # per-ROW count, not a scalar: this layout also serves
+            # apply_sparse on a dense-layout state (rows advance at
+            # different rates there — test_sparse_matches_dense). Still a
+            # compression of the reference's full param-shaped countt
+            # (gru4rec.py:307); _adapt_dense reads count[0] since dense
+            # steps advance all rows in lockstep.
             st["count"] = (
                 jnp.zeros((param.shape[0],), dtype=jnp.float32)
                 if param.ndim >= 1

@@ -122,8 +122,10 @@ def test_dist_with_forced_kernel_matches_single_device(adapt, version,
 
 def test_factor_mesh():
     assert factor_mesh(8) == (2, 4)
-    assert factor_mesh(4) == (1, 4)
-    assert factor_mesh(2) == (1, 2)
+    # both axes stay exercised whenever the device count allows: a 1 x N
+    # mesh would have zero lane parallelism
+    assert factor_mesh(4) == (2, 2)
+    assert factor_mesh(2) == (2, 1)
     assert factor_mesh(1) == (1, 1)
     assert factor_mesh(6) == (3, 2)
 
