@@ -52,7 +52,10 @@ import numpy as np
 import torch
 
 EPSILON = 1e-6
-torch.set_default_dtype(torch.float64)
+# No torch.set_default_dtype here: that would mutate process-global torch
+# state as an import side effect for every other test module. All inputs
+# are float64 numpy arrays (torch.tensor infers f64 from them); the one
+# default-dtype-dependent constructor (eye, below) is explicit.
 
 
 # --------------------------------------------------------------------------- #
@@ -91,7 +94,7 @@ def get_act(name):
 def softmax_neg(x):
     """Softmax over each row's negatives (reference: gru4rec.py:199-203)."""
     m, n = x.shape
-    hm = 1.0 - torch.eye(m, n)
+    hm = 1.0 - torch.eye(m, n, dtype=torch.float64)
     x = x * hm
     e = torch.exp(x - x.max(dim=1, keepdim=True).values) * hm
     return e / e.sum(dim=1, keepdim=True)

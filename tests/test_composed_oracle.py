@@ -137,7 +137,7 @@ def assert_cell_matches(cfg, state, oracle, costs_fw, costs_or,
         np.testing.assert_allclose(np.asarray(p["E"])[:n_items], oracle.E,
                                    rtol=rtol, atol=atol, err_msg="E")
     for i in range(len(cfg.layers)):
-        if i >= start or gru.input_mode(cfg) != "onehot":
+        if i >= start:  # start = 1 only for onehot, whose Wx0 is asserted above
             np.testing.assert_allclose(np.asarray(p["Wx"][i]), oracle.Wx[i],
                                        rtol=rtol, atol=atol, err_msg=f"Wx{i}")
         np.testing.assert_allclose(np.asarray(p["Wh"][i]), oracle.Wh[i],
@@ -182,7 +182,6 @@ def test_composed_adam_reference_variant_differs():
         loss="bpr-max", final_act="elu-1", layers=[7], n_sample=6,
         sample_alpha=0.75, learning_rate=0.08, adapt="adam", embedding=7,
     ), adam_variant="reference")
-    cfg, state, oracle, costs_fw, costs_or = cell
     with pytest.raises(AssertionError):
         assert_cell_matches(*cell)
 
