@@ -65,6 +65,20 @@ GOLDEN = {
         [0.583784, 0.727027, 0.797297, 0.848649],
         [0.583784, 0.636757, 0.646554, 0.650149],
     ),
+    # a third loss family AND the stochastically-rounded bf16 state mode:
+    # SR is deterministic given the keys (stateless dither), so its
+    # accuracy is golden-freezable like any other config — this cell
+    # guards both top1-max semantics and SR-state training quality
+    "top1max_sr": (
+        dict(loss="top1-max", final_act="elu-1", layers=[32],
+             batch_size=16, n_sample=32, sample_alpha=0.5, learning_rate=0.1,
+             adapt="adagrad", opt_state_dtype="bfloat16_sr",
+             constrained_embedding=True, n_epochs=3, chunk_size=64,
+             item_pad_multiple=32, seed=42),
+        [0.85101, 0.813052, 0.806847],
+        [0.754054, 0.783784, 0.802703, 0.848649],
+        [0.754054, 0.763649, 0.766053, 0.769267],
+    ),
 }
 
 
