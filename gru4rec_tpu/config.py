@@ -134,6 +134,20 @@ class GRU4RecConfig:
                 "training will likely NaN-abort. Use final_act=softmax "
                 "(what every published cross-entropy config uses)."
             )
+        if self.loss == "top1":
+            # deliberate parity break (ops/losses.py): the reference's top1
+            # accidentally broadcasts the regularizer M times before the
+            # batch mean (gru4rec.py:242-244), inflating its gradient by
+            # ~batch_size; we compute the paper's formula. A reference-tuned
+            # top1 config therefore sees weaker regularization here.
+            print(
+                "Warn: loss=top1 uses the TOP1 paper's formula; the "
+                "reference implementation scales the regularizer by "
+                f"~batch_size (={self.batch_size}) due to a broadcasting "
+                "accident. Reference-tuned top1 configs may need a larger "
+                "learning_rate or batch_size-scaled regularization to match "
+                "(top1-max is unaffected)."
+            )
 
     # ------------------------------------------------------------------ #
     def set_params(self, **kwargs) -> "GRU4RecConfig":

@@ -571,10 +571,23 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
     # dict when the frame may have changed (fit() keeps one per fit call).
     sched = None
     if _sched_cache is not None:
-        _ck = (id(test_data), len(test_data), int(batch_size),
+        # id() alone is unsafe (a GC'd frame's id can be recycled; an
+        # in-place mutation keeps id and len) — key on a cheap content
+        # fingerprint too, and pin the keyed frame inside the entry so its
+        # id() cannot be reused while the cache holds it.
+        n = len(test_data)
+        fp = ()
+        if n:
+            _r0, _r1 = test_data.iloc[0], test_data.iloc[-1]
+            fp = tuple(_r0[k] for k in (session_key, item_key, time_key))
+            fp += tuple(_r1[k] for k in (session_key, item_key, time_key))
+        _ck = (id(test_data), n, fp, int(batch_size),
                session_key, item_key, time_key)
-        sched = _sched_cache.get(_ck)
+        hit = _sched_cache.get(_ck)
+        if hit is not None:
+            _, sched = hit
     if sched is None:
+        _keyed_frame = test_data  # pinned in the cache entry (id-recycle guard)
         test_data = pd.merge(
             test_data,
             pd.DataFrame({"ItemIdx": itemidmap.values,
@@ -590,7 +603,7 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
             batch_size,
         )
         if _sched_cache is not None:
-            _sched_cache[_ck] = sched
+            _sched_cache[_ck] = (_keyed_frame, sched)
 
     item_idx = None
     items_subset = items is not None

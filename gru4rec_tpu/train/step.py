@@ -98,9 +98,12 @@ def _state_name(srow_name: str) -> str:
 # (seed, row, col) hashes), perfectly correlating their rounding noise.
 # Keyed on STATE names so the single-chip and distributed steps (which name
 # the constrained-mode update "WyS" vs "Wy") fold identically and stay
-# bit-identical. Dropout keys come from jax.random.split, not fold_in, so
-# these cannot collide with them.
-SR_TABLE_SALT = {"Wx0": 1, "E": 2, "Wy": 3}
+# bit-identical. Values live far outside the small-integer fold_in domain
+# used elsewhere (device indices in dist_step.py fold_in(base_key, di),
+# the 0/1 dropout-vs-negatives discriminator): a salt equal to a device
+# index would hand one shard's dropout stream to a table's SR dither.
+# 0x5352 = ASCII "SR".
+SR_TABLE_SALT = {"Wx0": 0x53520001, "E": 0x53520002, "Wy": 0x53520003}
 
 
 def _take_rows2d(table, idx):

@@ -59,3 +59,16 @@ def test_fit_profile_dir_writes_trace(tmp_path):
     for root, _, files in os.walk(prof):
         found.extend(files)
     assert found, "profiler hook produced no trace files"
+
+
+def test_top1_divergence_warning(capsys):
+    # loss=top1 is a deliberate parity break (ops/losses.py fixes the
+    # reference's M-times regularizer broadcast, gru4rec.py:242-244); the
+    # config layer must warn at selection time, not just in a code comment
+    GRU4RecConfig(loss="top1", final_act="tanh", layers=[8], batch_size=32)
+    out = capsys.readouterr().out
+    assert "loss=top1" in out and "regulariz" in out and "32" in out
+
+    capsys.readouterr()
+    GRU4RecConfig(loss="top1-max", final_act="elu-1", layers=[8])
+    assert "loss=top1" not in capsys.readouterr().out

@@ -75,9 +75,12 @@ GOLDEN = {
              adapt="adagrad", opt_state_dtype="bfloat16_sr",
              constrained_embedding=True, n_epochs=3, chunk_size=64,
              item_pad_multiple=32, seed=42),
-        [0.85101, 0.813052, 0.806847],
-        [0.754054, 0.783784, 0.802703, 0.848649],
-        [0.754054, 0.763649, 0.766053, 0.769267],
+        # regenerated for the SR_TABLE_SALT move out of the small-int
+        # fold_in domain (dropout-key collision fix, train/step.py:95-110):
+        # new salts => new (equally valid) dither stream
+        [0.851024, 0.813058, 0.806870],
+        [0.754054, 0.783784, 0.805405, 0.848649],
+        [0.754054, 0.763198, 0.765817, 0.768780],
     ),
 }
 
