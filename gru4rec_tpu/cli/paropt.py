@@ -97,8 +97,20 @@ def generate_command(args, optimized_param_str, measure, log_pm=True):
 
 def trial_env(args):
     """os.environ plus the -tf NAME=value overrides, applied to EVERY child
-    process (trials and the final best-params re-evaluation alike)."""
+    process (trials and the final best-params re-evaluation alike).
+
+    The resolved persistent XLA compile-cache dir (utils/cache.py) is
+    exported as JAX_COMPILATION_CACHE_DIR so all trials provably share one
+    cache: a fresh (layers, batch_size, ...) shape pays its cold compile
+    (tens of seconds to minutes on a remote-compiled TPU backend) once per
+    sweep, not once per trial. -tf overrides win, and
+    GRU4REC_TPU_CACHE_DIR='' still disables caching entirely."""
     env = os.environ.copy()
+    from gru4rec_tpu.utils.cache import resolve_cache_dir
+
+    cache_dir = resolve_cache_dir()
+    if cache_dir:
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     for pair in (getattr(args, "flags", "") or "").split(";"):
         if pair.strip():
             name, _, value = pair.partition("=")
@@ -137,7 +149,15 @@ def run_once(args, optimized_param_str):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="Optimize GRU4Rec hyperparameters on a validation set.")
+        description="Optimize GRU4Rec hyperparameters on a validation set.",
+        epilog="Note on TPU sweeps: the first trial of each distinct jitted "
+               "shape (layers/batch_size/n_sample/chunk_size combination) "
+               "pays a cold XLA compile — tens of seconds to minutes on a "
+               "remote-compiled backend. All trials share one persistent "
+               "compile cache (JAX_COMPILATION_CACHE_DIR, exported to every "
+               "child; see gru4rec_tpu/utils/cache.py), so repeat shapes are "
+               "warm. Prefer search spaces with few distinct shape-affecting "
+               "values, e.g. layers with a coarse step.")
     parser.add_argument("path", metavar="PATH", type=str)
     parser.add_argument("test", metavar="TEST_PATH", type=str)
     parser.add_argument("-g", "--gru4rec_model", type=str, default="gru4rec_tpu")

@@ -21,6 +21,20 @@ from __future__ import annotations
 import os
 
 
+def resolve_cache_dir() -> str | None:
+    """Resolve the persistent-cache directory per the order above; None when
+    caching is disabled (GRU4REC_TPU_CACHE_DIR=''). Pure resolution — no
+    side effects — so subprocess drivers (cli/paropt.py) can export the SAME
+    directory into child environments."""
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if path is None:
+        path = os.environ.get(
+            "GRU4REC_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "gru4rec_tpu", "xla"),
+        )
+    return path or None
+
+
 def enable_persistent_compilation_cache() -> str | None:
     """Point JAX's persistent compile cache at a durable directory.
 
@@ -28,12 +42,7 @@ def enable_persistent_compilation_cache() -> str | None:
     the first compilation (safe any time; earlier is better). Never raises:
     backends that cannot serialize executables simply skip the cache.
     """
-    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if path is None:
-        path = os.environ.get(
-            "GRU4REC_TPU_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "gru4rec_tpu", "xla"),
-        )
+    path = resolve_cache_dir()
     if not path:
         return None
     try:
