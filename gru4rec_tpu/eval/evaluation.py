@@ -629,7 +629,9 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
         )
         mode_in = gru.input_mode(cfg)
         pspec = param_pspecs(gru_model.params, mode_in)
-        put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        from gru4rec_tpu.parallel.mesh import put_global
+
+        put = lambda x, s: put_global(x, NamedSharding(mesh, s))
         dist_params = jax.tree_util.tree_map(put, dict(gru_model.params), pspec)
         sched_shard = NamedSharding(mesh, P(None, "data"))
     else:
@@ -660,7 +662,7 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
         if mesh is not None:
             # one host->sharded transfer (an intermediate jnp.asarray would
             # land on the default device first and reshard from there)
-            args = tuple(jax.device_put(a, sched_shard) for a in raw)
+            args = tuple(put_global(a, sched_shard) for a in raw)
             extra = (item_idx,) if items_subset else ()
             H, rec, mrr, n, step = chunk_fn(
                 dist_params, H, *args, rec, mrr, n, key, step, *extra

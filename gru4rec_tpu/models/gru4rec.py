@@ -77,10 +77,12 @@ def _upload_stacks(stacks, mesh):
         return tuple(jnp.asarray(s) for s in stacks)
     from jax.sharding import NamedSharding, PartitionSpec
 
+    from gru4rec_tpu.parallel.mesh import put_global
+
     # lanes (B, last dim) ride the data axis, matching the dist chunk_fn's
     # P(None, "data") schedule specs so the per-chunk slices need no reshard
     shard = NamedSharding(mesh, PartitionSpec(None, None, "data"))
-    return tuple(jax.device_put(s, shard) for s in stacks)
+    return tuple(put_global(s, shard) for s in stacks)
 
 
 @jax.jit
@@ -277,6 +279,7 @@ class GRU4Rec:
 
             from gru4rec_tpu.parallel.dist_step import (
                 make_dist_chunk_fn, shard_train_state)
+            from gru4rec_tpu.parallel.mesh import put_global
 
             state = shard_train_state(state, cfg, mesh)
             dist_fn = make_dist_chunk_fn(cfg, self.n_items, mesh)
@@ -284,16 +287,16 @@ class GRU4Rec:
             repl = NamedSharding(mesh, P(None))
             # loop-invariant inputs replicate ONCE, not per chunk (the alias
             # table is ~MBs at Rees46 scale x ~183 chunks/epoch otherwise)
-            samp1 = jax.device_put(samp1, repl)
-            logp0 = jax.device_put(logp0, repl)
+            samp1 = put_global(samp1, repl)
+            logp0 = put_global(logp0, repl)
 
             def chunk_fn(state, in_c, out_c, valid_c, reset_c, samp1, logp0):
                 out = dist_fn(
                     state.params, state.opt_state, state.H, state.key, state.step,
-                    jax.device_put(in_c, sched_shard),
-                    jax.device_put(out_c, sched_shard),
-                    jax.device_put(valid_c, sched_shard),
-                    jax.device_put(reset_c, sched_shard),
+                    put_global(in_c, sched_shard),
+                    put_global(out_c, sched_shard),
+                    put_global(valid_c, sched_shard),
+                    put_global(reset_c, sched_shard),
                     samp1, logp0,
                 )
                 from gru4rec_tpu.train.step import TrainState
@@ -727,7 +730,7 @@ class GRU4Rec:
 
         from gru4rec_tpu.eval.evaluation import make_dist_topk_fn
         from gru4rec_tpu.parallel.dist_step import detect_scratch_layout
-        from gru4rec_tpu.parallel.mesh import param_pspecs
+        from gru4rec_tpu.parallel.mesh import param_pspecs, put_global
 
         cfg = self.config
         nd = mesh.shape["data"]
@@ -741,7 +744,7 @@ class GRU4Rec:
         key = (tuple(mesh.shape.items()),
                tuple(d.id for d in mesh.devices.flat),
                int(k), int(batch), scratch)
-        put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        put = lambda x, s: put_global(x, NamedSharding(mesh, s))
         cache = self._dist_topk
         if cache is None or cache["key"] != key:
             cache = {

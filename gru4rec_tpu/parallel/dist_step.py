@@ -31,7 +31,8 @@ from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.models import gru
 from gru4rec_tpu.ops.losses import get_loss
 from gru4rec_tpu.ops.sampling import draw_negatives
-from gru4rec_tpu.parallel.mesh import param_pspecs, state_pspecs
+from gru4rec_tpu.parallel.mesh import (fetch_to_host, param_pspecs, put_global,
+                                       state_pspecs)
 from gru4rec_tpu.train.optimizers import make_optimizer
 from gru4rec_tpu.train.step import (SENTINEL, SR_TABLE_SALT, init_train_state,
                                     merge_dense, split_params)
@@ -54,7 +55,9 @@ def _expand_scratch(arr, nm: int):
     blocks = arr.reshape((nm, L) + arr.shape[1:])
     pad = np.zeros((nm, SCRATCH_ROWS) + arr.shape[1:], arr.dtype)
     out = np.concatenate([blocks, pad], axis=1)
-    return jnp.asarray(out.reshape((n + SCRATCH_ROWS * nm,) + arr.shape[1:]))
+    # host numpy, not jnp: the caller device_puts straight to the mesh
+    # sharding (which may span other processes' devices)
+    return out.reshape((n + SCRATCH_ROWS * nm,) + arr.shape[1:])
 
 
 def _strip_scratch(arr, nm: int):
@@ -96,7 +99,7 @@ def shard_train_state(state, cfg: GRU4RecConfig, mesh):
     sspec = state_pspecs(opt_state_x)
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     params = jax.tree_util.tree_map(put, params_x, pspec)
     opt_state = jax.tree_util.tree_map(put, opt_state_x, sspec)
@@ -112,7 +115,7 @@ def unshard_params(params, cfg: GRU4RecConfig, mesh):
     holds the whole item table. Used by fit()'s keep-best snapshots."""
     mode = gru.input_mode(cfg)
     nm = mesh.shape["model"]
-    host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    host = jax.tree_util.tree_map(fetch_to_host, params)
     return _map_item_tables(host, lambda a: _strip_scratch(a, nm), mode)
 
 
@@ -124,7 +127,7 @@ def unshard_train_state(state, cfg: GRU4RecConfig, mesh):
     strip = lambda a: _strip_scratch(a, nm)
     # host numpy throughout: the canonical full-size item tables must not
     # be placed on a single device (they may only fit sharded)
-    host = lambda t: jax.tree_util.tree_map(lambda x: np.asarray(x), t)
+    host = lambda t: jax.tree_util.tree_map(fetch_to_host, t)
     params = _map_item_tables(host(state.params), strip, mode)
     opt_state = dict(host(state.opt_state))
     opt_state["sparse"] = jax.tree_util.tree_map(strip, opt_state["sparse"])

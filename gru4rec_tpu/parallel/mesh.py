@@ -38,6 +38,8 @@ def init_distributed(coordinator_address=None, num_processes=None,
     through for manual setups. No-op if the distributed runtime is already
     initialized.
     """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return  # repeat calls are no-ops (fit() + evaluate() in one run)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -50,6 +52,36 @@ def init_distributed(coordinator_address=None, num_processes=None,
         msg = str(e).lower()
         if "already" not in msg and "once" not in msg:
             raise
+
+
+def put_global(x, sharding):
+    """``jax.device_put`` that also works when ``sharding`` spans devices of
+    OTHER processes (multi-host training, SURVEY.md §2.10): every process
+    passes the same full host array and only the locally-addressable shards
+    are materialized. Single-process meshes take the plain device_put path
+    unchanged."""
+    if getattr(x, "sharding", None) == sharding:
+        return x  # already laid out (e.g. device-resident schedule slices)
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return jax.device_put(x, sharding)  # global-to-global reshard
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
+
+
+def fetch_to_host(x) -> np.ndarray:
+    """Fetch a (possibly non-addressable) global array to host numpy on EVERY
+    process. Fully-addressable and fully-replicated arrays convert directly;
+    cross-process sharded arrays go through a process allgather (DCN)."""
+    if not hasattr(x, "is_fully_addressable"):  # already host numpy
+        return np.asarray(x)
+    if x.is_fully_addressable or x.is_fully_replicated:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
