@@ -528,3 +528,57 @@ def test_distributed_tiebreaking_statistically_matches(eval_model):
     for r in (rec_s[0], rec_d[0]):
         assert rec_con[0] - 1e-6 <= r <= rec_std[0] + 1e-6
     assert abs(rec_d[0] - rec_s[0]) < 0.03
+
+
+def test_tiebreaking_agreement_bound_on_fully_tied_scores(eval_model):
+    """Quantified mesh-vs-single 'tiebreaking' agreement on a maximally
+    tie-heavy model (every real item's score identical). The two paths use
+    different dithers by necessity (see evaluate() docstring) so only the
+    DISTRIBUTION is shared; zeroed Wy makes every score exactly 0.0, where
+    both dithers survive f32 rounding and the target's rank is uniform on
+    1..n_items. That gives an analytically derived expectation
+    E[Recall@c] = c/n with binomial noise, so both paths and their mutual
+    gap get absolute statistical bounds — and the observed level doubles as
+    a regression check that PADDED catalog columns stay out of the tie pool
+    (they would shift the level to c/n_pad)."""
+    from gru4rec_tpu.eval import evaluate
+
+    m, test = eval_model
+    mesh = make_mesh(2, 4)
+    n = m.n_items
+    # enough evaluable events for tight bounds: repeat the held-out sessions
+    # with fresh session ids (ranks are iid per event under full ties)
+    reps = []
+    for r in range(10):
+        t = test.copy()
+        t["SessionId"] = t["SessionId"] + 10_000 * (r + 1)
+        reps.append(t)
+    big = __import__("pandas").concat(reps, ignore_index=True)
+    n_events = sum(big.groupby("SessionId").size() - 1)
+    assert n_events >= 1000
+
+    prev = m.params
+    tied = dict(prev)
+    tied["Wy"] = jnp.zeros_like(prev["Wy"])  # scores == 0.0 for every item
+    m.params = tied
+    try:
+        rec_s, mrr_s = evaluate(m, big, cut_off=[5], batch_size=8,
+                                mode="tiebreaking")
+        rec_d, mrr_d = evaluate(m, big, cut_off=[5], batch_size=8,
+                                mode="tiebreaking", mesh=mesh)
+    finally:
+        m.params = prev
+
+    p = 5.0 / n  # uniform rank: P(rank <= 5)
+    sd = float(np.sqrt(p * (1 - p) / n_events))
+    for name, r in (("single", rec_s[0]), ("mesh", rec_d[0])):
+        assert abs(r - p) <= 4.5 * sd, (name, r, p, sd, n_events)
+    # the two paths draw independent dithers: their gap is bounded by the
+    # two-sample binomial deviation
+    assert abs(rec_d[0] - rec_s[0]) <= 4.5 * np.sqrt(2.0) * sd, (
+        rec_s[0], rec_d[0], sd)
+    # MRR under uniform ranks: E = (1/n) * sum_{r<=5} 1/r
+    mrr_p = sum(1.0 / r for r in range(1, 6)) / n
+    mrr_sd = float(np.sqrt(mrr_p / n_events))  # crude upper bound on var
+    for name, v in (("single", mrr_s[0]), ("mesh", mrr_d[0])):
+        assert abs(v - mrr_p) <= 4.5 * mrr_sd, (name, v, mrr_p)
