@@ -79,6 +79,12 @@ def main():
         "value": round(eps, 1),
         "unit": "events/s",
         "vs_baseline": round(eps / BASELINE_EVENTS_PER_S, 3),
+        # the ratio compares across hardware generations AND vendors — the
+        # denominator is the reference's published A30 number, the numerator
+        # runs on whatever single accelerator this host exposes (TPU v5e
+        # here). Shape-matched synthetic data, parity batch/config.
+        "baseline_hw": "NVIDIA A30 (reference README.md:153-163)",
+        "bench_hw": __import__("jax").devices()[0].device_kind,
     }))
 
 

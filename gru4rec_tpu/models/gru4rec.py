@@ -776,7 +776,11 @@ class GRU4Rec:
         self.H, ids, scores = cache["fn"](
             cache["params"], H, put(in_idx, P("data")))
         vocab = np.asarray(self.itemidmap.index.values, dtype=object)
-        return vocab[np.asarray(ids)], np.asarray(scores)
+        # fetch_to_host: the (batch, k) outputs are data-sharded, which in a
+        # multi-host serve spans other processes' devices
+        from gru4rec_tpu.parallel.mesh import fetch_to_host
+
+        return vocab[fetch_to_host(ids)], fetch_to_host(scores)
 
     # ------------------------------------------------------------------ #
     def savemodel(self, fname: str, include_optimizer: bool = False):

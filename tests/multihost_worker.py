@@ -135,6 +135,18 @@ def main():
     np.testing.assert_allclose(rec_s, rec_d, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(mrr_s, mrr_d, rtol=1e-5, atol=1e-7)
     print(f"[worker {pid}] DIST EVAL OK rec={rec_d}", flush=True)
+
+    # cross-process serving: mesh top-k against the single-chip path
+    sess = list(range(8))
+    inputs = ["it3", "it10", "it7", "it1", "it0", "it5", "it9", "it2"]
+    ids_s, sc_s = m.predict_topk(sess, inputs, k=3, batch=8)
+    m.H = None
+    m._current_session = None
+    m._predict_batch = None
+    ids_d, sc_d = m.predict_topk(sess, inputs, k=3, batch=8, mesh=mesh)
+    assert (ids_s == ids_d).all(), (ids_s, ids_d)
+    np.testing.assert_allclose(sc_s, sc_d, rtol=1e-5, atol=1e-7)
+    print(f"[worker {pid}] DIST TOPK OK", flush=True)
     print(f"[worker {pid}] MULTIHOST PASS", flush=True)
 
 
