@@ -1,0 +1,186 @@
+"""Prototype: replace the XLA-path dedup chain with an MXU equality-matmul.
+
+The sub-64MB shapes (RSC15/Coveo/RetailRocket — where XLA's promoted
+scatters beat the grouped kernel) spend ~48-85 us/step in the dedup chain of
+train/optimizers.py::dedup_rows: two-output sort (~6), take(g, order) (~20),
+segment_sum (~43), uidx int scatter (~14) [flagship d=225 numbers,
+PERF_NOTES.md "Where a step's time goes"]. Candidate replacement:
+
+    uidx  = sort(idx); head-mask; second 1-D sort compacts distinct values
+    g_sum = (uidx[:, None] == idx[None, :]) @ g        # one MXU matmul
+
+The equality matrix has exactly one 1 per column (duplicate columns share a
+row), so the matmul IS the segment sum — 2*K^2*d f32 FLOPs, tiny on the MXU,
+and it needs neither the permutation gather nor the segment machinery. Three
+variants measured:
+
+  chain   — the shipped dedup_rows (sort+take+segment_sum+int scatter)
+  mm_xla  — materialized (K, K) equality matrix + jnp.dot (control: pays
+            ~K^2*4 bytes of HBM round-trip for the eq matrix)
+  mm_pal  — Pallas kernel fusing the compare into the matmul tiles (the eq
+            matrix never exists in memory)
+
+Numerics: identical summand sets, different association (MXU accumulates in
+f32 tree order vs segment_sum's sequential order) — allclose, not
+bit-equal. Sentinel (masked-lane) handling matches dedup_rows: sentinel
+rows sum masked gradients and are dropped by the scatter's mode="drop".
+
+Run on the real TPU:  python scripts/proto_dedup_matmul.py [shape ...]
+CPU correctness only: JAX_PLATFORMS=cpu python scripts/proto_dedup_matmul.py check
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+sys.path.insert(0, "/root/repo")
+
+from gru4rec_tpu.train.optimizers import dedup_rows
+
+SENTINEL = np.iinfo(np.int32).max
+
+
+def _uidx_two_sorts(idx):
+    """Sorted-unique compaction without the int scatter: first sort the
+    keys, then sort again with duplicates replaced by the sentinel."""
+    sidx = jax.lax.sort(idx.astype(jnp.int32))
+    head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    return jax.lax.sort(jnp.where(head, sidx, SENTINEL))
+
+
+def dedup_rows_mm_xla(idx, g):
+    uidx = _uidx_two_sorts(idx)
+    eq = (uidx[:, None] == idx[None, :]).astype(g.dtype)
+    return uidx, jnp.dot(eq, g, preferred_element_type=jnp.float32)
+
+
+def _mm_kernel(uidx_ref, idx_ref, g_ref, out_ref):
+    # (128, K) equality block built in-register; one 1 per column ->
+    # the dot IS the duplicate sum. f32 MXU: exactness of the 0/1 operand
+    # keeps each summand un-rounded. uidx arrives as a (128, 1) column and
+    # idx as a (1, K) row so the compare is a plain 2-D broadcast (no 1-D
+    # refs / in-kernel reshapes, which Mosaic lowers poorly).
+    eq = uidx_ref[:] == idx_ref[:]
+    out_ref[:] = jnp.dot(eq.astype(jnp.float32), g_ref[:],
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("d_block",))
+def dedup_rows_mm_pallas(idx, g, d_block=256):
+    K, d = g.shape
+    k_pad = -K % 128  # sentinel-pad the lane dim to the MXU tile
+    d_pad = -d % d_block
+    gp = jnp.pad(g, ((0, k_pad), (0, d_pad))) if (k_pad or d_pad) else g
+    idx_p = (jnp.pad(idx.astype(jnp.int32), (0, k_pad),
+                     constant_values=SENTINEL) if k_pad else
+             idx.astype(jnp.int32))
+    Kp = K + k_pad
+    uidx = _uidx_two_sorts(idx_p)
+    out = pl.pallas_call(
+        _mm_kernel,
+        grid=(Kp // 128, (d + d_pad) // d_block),
+        in_specs=[
+            pl.BlockSpec((128, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, Kp), lambda i, j: (0, 0)),
+            pl.BlockSpec((Kp, d_block), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((128, d_block), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Kp, d + d_pad), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(uidx[:, None], idx_p[None, :], gp)
+    # distinct count <= K, so slicing back to K keeps every real row (the
+    # tail is sentinel either way — matches dedup_rows' layout exactly)
+    return uidx[:K], out[:K, :d]
+
+
+VARIANTS = {
+    "chain": dedup_rows,
+    "mm_xla": dedup_rows_mm_xla,
+    "mm_pal": dedup_rows_mm_pallas,
+}
+
+# (name, n_rows, d, K, n_distinct-ish pool)
+SHAPES = {
+    "flagship": (36_968, 225, 2208, 20_000),
+    "rsc15": (37_968, 101, 2112, 20_000),
+    "coveo": (10_848, 257, 2176, 9_000),
+    "yoochoose": (27_000, 481, 2144, 15_000),
+}
+
+
+def check():
+    rng = np.random.RandomState(0)
+    for K, d in ((256, 101), (2208, 225)):
+        idx = rng.randint(0, 500, K).astype(np.int32)
+        idx[-7:] = SENTINEL  # masked lanes
+        g = rng.randn(K, d).astype(np.float32)
+        u0, s0 = dedup_rows(jnp.asarray(idx), jnp.asarray(g))
+        for name in ("mm_xla", "mm_pal"):
+            u1, s1 = VARIANTS[name](jnp.asarray(idx), jnp.asarray(g))
+            np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1),
+                                          err_msg=name)
+            real = np.asarray(u0) != SENTINEL
+            np.testing.assert_allclose(
+                np.asarray(s0)[real], np.asarray(s1)[real], rtol=2e-5,
+                atol=2e-5, err_msg=name)
+    print("CHECK OK: uidx bit-equal, sums allclose (reassociation only)")
+
+
+def measure(shape_name, reps=6, steps=64):
+    n_rows, d, K, pool_n = SHAPES[shape_name]
+    rng = np.random.RandomState(0)
+    pool = rng.choice(n_rows, pool_n, replace=False)
+    idx = pool[rng.randint(0, pool_n, (steps, K))].astype(np.int32)
+    g = (rng.randn(steps, K, d) * 0.01).astype(np.float32)
+    idx_j, g_j = jnp.asarray(idx), jnp.asarray(g)
+    table = jnp.asarray(rng.randn(n_rows, d).astype(np.float32))
+
+    results = {}
+    for name, fn in VARIANTS.items():
+        # dedup + the consuming scatter-SET: what the step actually pays
+        @jax.jit
+        def run(table, idx_c, g_c, fn=fn):
+            def body(tab, xs):
+                i, gg = xs
+                uidx, gs = fn(i, gg)
+                tab = tab.at[uidx].set(
+                    (tab.at[uidx].get(mode="fill", fill_value=0.0,
+                                      indices_are_sorted=True,
+                                      unique_indices=True) - 0.01 * gs
+                     ).astype(tab.dtype),
+                    mode="drop", indices_are_sorted=True, unique_indices=True)
+                return tab, None
+            tab, _ = jax.lax.scan(body, table, (idx_c, g_c))
+            return tab[0, 0]
+
+        float(run(table, idx_j, g_j))
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = run(table, idx_j, g_j)
+        float(out)
+        us = (time.time() - t0) / (reps * steps) * 1e6
+        results[name] = round(us, 1)
+        print(json.dumps({"shape": shape_name, "variant": name,
+                          "us_per_step": results[name], "d": d, "K": K}))
+    return results
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or ["check"]
+    if args == ["check"]:
+        check()
+    else:
+        for s in args:
+            if s == "all":
+                for name in SHAPES:
+                    measure(name)
+            else:
+                measure(s)
