@@ -23,7 +23,6 @@ Options: ``--tol`` relative tolerance (default 0.05), ``--cutoffs`` subset,
 """
 
 import argparse
-import importlib.util
 import json
 import os
 import sys
@@ -33,7 +32,7 @@ import pandas as pd
 
 _REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 sys.path.insert(0, _REPO)
-from gru4rec_tpu import GRU4Rec
+from gru4rec_tpu import GRU4Rec, GRU4RecConfig
 from gru4rec_tpu.eval import evaluate
 
 CUTOFFS = [1, 5, 10, 20]
@@ -74,24 +73,22 @@ EXPECTED = {
 }
 
 
-def load_params(paramfile):
+def load_config(paramfile):
+    """Load a shipped paramfile through the same loader the CLI uses
+    (GRU4RecConfig.from_parameter_file, which also echoes each SET line)."""
     path = os.path.join(_REPO, "paramfiles", paramfile + ".py")
-    spec = importlib.util.spec_from_file_location(paramfile, path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return dict(mod.gru4rec_params)
+    return GRU4RecConfig.from_parameter_file(path)
 
 
 def run(dataset, train_path, test_path, tol, cutoffs, out_path, mesh=None):
     exp = EXPECTED[dataset]
-    params = load_params(exp["paramfile"])
     print(f"dataset={dataset} paramfile={exp['paramfile']}")
-    print(f"params: {params}")
+    cfg = load_config(exp["paramfile"])
     data = pd.read_csv(train_path, sep="\t", dtype={"ItemId": str})
     valid = pd.read_csv(test_path, sep="\t", dtype={"ItemId": str})
 
     t0 = time.time()
-    gru = GRU4Rec(**params)
+    gru = GRU4Rec(cfg)
     gru.fit(data, mesh=mesh)
     t_fit = time.time() - t0
     rec, mrr = evaluate(gru, valid, batch_size=512, cut_off=cutoffs,
@@ -130,7 +127,9 @@ def main(argv=None):
     ap.add_argument("train", help="<dataset>_train_full.txt")
     ap.add_argument("test", help="<dataset>_test.txt")
     ap.add_argument("--tol", type=float, default=0.05)
-    ap.add_argument("--cutoffs", type=int, nargs="*", default=CUTOFFS,
+    # nargs='+': a bare --cutoffs (e.g. an empty shell variable) must error,
+    # not assert nothing and exit 0 from an asserting gate
+    ap.add_argument("--cutoffs", type=int, nargs="+", default=CUTOFFS,
                     help="subset of the published cutoffs 1 5 10 20")
     ap.add_argument("--out", default=None,
                     help="report path (default PARITY_<DATASET>.json)")

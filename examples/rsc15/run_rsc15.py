@@ -110,12 +110,17 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=0.05,
                     help="relative tolerance per metric (default 0.05 — the "
                          "reference accepts 'up to a few percent')")
-    ap.add_argument("--configs", type=int, nargs="*",
+    ap.add_argument("--configs", type=int, nargs="+",
                     default=list(range(len(CONFIGS))),
                     help="subset of config indices to run (default: all)")
     ap.add_argument("--out", default="PARITY_RSC15.json",
                     help="path of the machine-readable report")
     args = ap.parse_args(argv)
+    # fail fast, not after hours of training — and never let an empty
+    # selection turn this asserting gate into a vacuous PASS
+    bad = [i for i in args.configs if not 0 <= i < len(CONFIGS)]
+    if bad:
+        ap.error(f"--configs indices {bad} out of range 0..{len(CONFIGS)-1}")
     return run(args.train, args.test, args.tol, args.configs, args.out)
 
 

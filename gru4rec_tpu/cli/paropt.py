@@ -233,11 +233,21 @@ def main(argv=None):
             import hashlib
 
             sig = hashlib.sha1()
+            # everything that defines the OBJECTIVE must enter the name:
+            # train + validation data, search space, fixed params, and the
+            # metric being maximized (kind, cutoff, tie mode). Omitting any
+            # of these would let a later sweep with, say, a different
+            # validation set or -pm silently resume the old study, skip its
+            # own trials via the COMPLETE-count subtraction, and report a
+            # best optimized for a different objective.
             sig.update(os.path.abspath(args.path).encode())
+            sig.update(b"\0" + os.path.abspath(args.test).encode())
             sig.update(b"\0")
             with open(args.optuna_parameter_file, "rb") as sf:
                 sig.update(sf.read())
             sig.update(b"\0" + args.fixed_parameters.encode())
+            sig.update(f"\0{args.primary_metric}\0{args.measure}"
+                       f"\0{args.eval_type}".encode())
             study_name = f"gru4rec_paropt_{sig.hexdigest()[:12]}"
             print(f"Using derived study name: {study_name}")
         study = optuna.create_study(

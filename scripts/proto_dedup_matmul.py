@@ -43,6 +43,9 @@ from jax.experimental import pallas as pl
 sys.path.insert(0, "/root/repo")
 
 from gru4rec_tpu.train.optimizers import dedup_rows
+from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 SENTINEL = np.iinfo(np.int32).max
 

@@ -128,6 +128,27 @@ def main():
                 n_epochs=1, chunk_size=16, constrained_embedding=True)
     m.fit(sessions(60))
     test = sessions(20, seed=9)
+
+    # the user-facing fit(mesh=...) across the process boundary: covers the
+    # cross-process schedule upload (_upload_stacks stacks sharded over the
+    # data axis) and the end-of-fit state gather. Identical RNG + no
+    # dropout => the loss trajectory must match the process-local fit's.
+    md = GRU4Rec(loss="bpr-max", layers=[16], batch_size=8, n_sample=16,
+                 n_epochs=1, chunk_size=16, constrained_embedding=True,
+                 compute_dtype="float32")
+    md.fit(sessions(60), mesh=mesh)
+    ms = GRU4Rec(loss="bpr-max", layers=[16], batch_size=8, n_sample=16,
+                 n_epochs=1, chunk_size=16, constrained_embedding=True,
+                 compute_dtype="float32")
+    ms.fit(sessions(60))
+    np.testing.assert_allclose(
+        [e["loss"] for e in md.epoch_stats],
+        [e["loss"] for e in ms.epoch_stats], rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(md.params["Wy"]),
+                               np.asarray(ms.params["Wy"]),
+                               rtol=2e-3, atol=1e-5)
+    print(f"[worker {pid}] DIST FIT OK loss={md.epoch_stats[-1]['loss']:.4f}",
+          flush=True)
     rec_s, mrr_s = evaluate(m, test, cut_off=[1, 5], batch_size=8,
                             mode="standard")
     rec_d, mrr_d = evaluate(m, test, cut_off=[1, 5], batch_size=8,

@@ -35,27 +35,37 @@ def test_two_process_distributed_train_and_eval(tmp_path):
         flags + ["--xla_force_host_platform_device_count=4"])
     repo = os.path.dirname(os.path.dirname(_WORKER))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    # each worker compiles the same tiny programs; share the suite's cache
+    # worker stdout goes to FILES, not pipes: the workers synchronize via
+    # collectives, so blocking on one's pipe while the other fills its
+    # buffer (verbose XLA warnings, a failure traceback) would deadlock
+    # both until the timeout
+    logs = [tmp_path / f"worker{pid}.log" for pid in range(2)]
+    handles = [open(lg, "w") for lg in logs]
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(pid), "2", str(port)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, stdout=handles[pid], stderr=subprocess.STDOUT,
             text=True, cwd=os.path.dirname(os.path.dirname(_WORKER)),
         )
         for pid in range(2)
     ]
-    outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
-            outs.append(out)
+            p.wait(timeout=540)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
+        for h in handles:
+            h.close()
         pytest.fail("multihost workers timed out:\n" +
-                    "\n".join(o or "" for o in outs))
+                    "\n".join(lg.read_text() for lg in logs))
+    for h in handles:
+        h.close()
+    outs = [lg.read_text() for lg in logs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"[worker {pid}] MULTIHOST PASS" in out, out
         assert f"[worker {pid}] TRAIN CHUNK OK" in out, out
+        assert f"[worker {pid}] DIST FIT OK" in out, out
         assert f"[worker {pid}] DIST EVAL OK" in out, out
+        assert f"[worker {pid}] DIST TOPK OK" in out, out

@@ -191,3 +191,22 @@ def test_trial_env_exports_cache_dir_and_tf_overrides(monkeypatch):
     monkeypatch.setenv("GRU4REC_TPU_CACHE_DIR", "")
     args = types.SimpleNamespace(flags="")
     assert "JAX_COMPILATION_CACHE_DIR" not in paropt.trial_env(args)
+
+
+def test_derived_study_name_encodes_the_objective(harness, capsys):
+    """Two sweeps sharing storage must only merge when they optimize the
+    SAME objective: the derived name must change with the validation set,
+    primary metric, cutoff, or tie mode (else a later sweep silently
+    resumes the old study and skips its own trials)."""
+    def name_for(argv):
+        paropt.main(argv + ["--storage", "sqlite:///s.db", "-nt", "1"])
+        out = capsys.readouterr().out
+        return out.split("Using derived study name: ")[1].split()[0]
+
+    base = ["train.tsv", "test.tsv", "-opf", harness.space]
+    n0 = name_for(base)
+    assert name_for(base) == n0  # deterministic
+    assert name_for(["train.tsv", "OTHER.tsv", "-opf", harness.space]) != n0
+    assert name_for(base + ["-pm", "mrr"]) != n0
+    assert name_for(base + ["-m", "5"]) != n0
+    assert name_for(base + ["-e", "median"]) != n0

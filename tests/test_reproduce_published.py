@@ -56,17 +56,16 @@ def tiny_dataset(harness, monkeypatch, tmp_path):
         "('constrained_embedding', True), ('layers', [24]),"
         "('n_epochs', 2), ('batch_size', 16), ('n_sample', 32),"
         "('learning_rate', 0.1)])\n")
-    orig = harness.load_params
+    orig = harness.load_config
 
     def load(paramfile):
         if paramfile == "tiny_best":
-            spec = importlib.util.spec_from_file_location("tiny_best", pf)
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            return dict(mod.gru4rec_params)
+            from gru4rec_tpu import GRU4RecConfig
+
+            return GRU4RecConfig.from_parameter_file(str(pf))
         return orig(paramfile)
 
-    monkeypatch.setattr(harness, "load_params", load)
+    monkeypatch.setattr(harness, "load_config", load)
     monkeypatch.setitem(harness.EXPECTED, "tiny", {
         "paramfile": "tiny_best",
         # deterministic markov chain: ~1.0 at every cutoff
@@ -127,8 +126,8 @@ def test_published_table_pinned(harness):
         path = os.path.join(os.path.dirname(_PATH), "..", "paramfiles",
                             exp["paramfile"] + ".py")
         assert os.path.exists(path), (name, path)
-        params = harness.load_params(exp["paramfile"])
-        assert params["n_sample"] == 2048
+        cfg = harness.load_config(exp["paramfile"])
+        assert cfg.n_sample == 2048
         assert set(exp["recall"]) == set(exp["mrr"]) == {1, 5, 10, 20}
     # spot-pin two rows verbatim
     assert harness.EXPECTED["rees46"]["recall"][20] == 0.5293
