@@ -158,8 +158,27 @@ def _unflatten_params(archive) -> dict:
     return params
 
 
+def _is_primary_process() -> bool:
+    """Checkpoint files are written by process 0 only (the jax.distributed
+    convention, same as orbax): on a shared filesystem every process would
+    otherwise race-write the same path; on per-host disks the other hosts'
+    copies would be redundant. Loading still happens on every process
+    (each host must see the file — shared FS or a pre-copy).
+    Single-process runs are always primary."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:  # pragma: no cover - uninitialized backends
+        return True
+
+
 def save_model(model, fname: str, include_optimizer: bool = False) -> None:
-    """Serialize a trained GRU4Rec model (and optionally its optimizer state)."""
+    """Serialize a trained GRU4Rec model (and optionally its optimizer state).
+
+    In a multi-host run only process 0 writes (see _is_primary_process)."""
+    if not _is_primary_process():
+        return
     payload = _flatten_params(model.params)
     keys = np.asarray(model.itemidmap.index.values)
     if keys.dtype.kind not in "iufb":
@@ -185,7 +204,11 @@ def save_model(model, fname: str, include_optimizer: bool = False) -> None:
 def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
     """Full training checkpoint: params + optimizer state + hidden state +
     RNG key + step counter + epoch — everything needed for exact resume.
-    The reference cannot resume mid-training at all (SURVEY.md §5)."""
+    The reference cannot resume mid-training at all (SURVEY.md §5).
+
+    In a multi-host run only process 0 writes (see _is_primary_process)."""
+    if not _is_primary_process():
+        return
     payload = _flatten_params(state.params)
     opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
     for i, leaf in enumerate(opt_leaves):

@@ -149,6 +149,26 @@ def main():
                                rtol=2e-3, atol=1e-5)
     print(f"[worker {pid}] DIST FIT OK loss={md.epoch_stats[-1]['loss']:.4f}",
           flush=True)
+
+    # checkpoint writes are process-0-only (shared-FS race guard); every
+    # process can load the result
+    import os
+    import tempfile
+
+    ckpt = os.path.join(tempfile.gettempdir(),
+                        f"mh_ckpt_{port}_{pid}.npz")
+    if os.path.exists(ckpt):
+        os.unlink(ckpt)
+    md.savemodel(ckpt)
+    wrote = os.path.exists(ckpt)
+    assert wrote == (pid == 0), (pid, wrote)
+    if wrote:
+        m_loaded = GRU4Rec.loadmodel(ckpt)
+        np.testing.assert_allclose(np.asarray(m_loaded.params["Wy"]),
+                                   np.asarray(md.params["Wy"]),
+                                   rtol=1e-6, atol=1e-7)
+        os.unlink(ckpt)
+    print(f"[worker {pid}] CKPT GUARD OK wrote={wrote}", flush=True)
     rec_s, mrr_s = evaluate(m, test, cut_off=[1, 5], batch_size=8,
                             mode="standard")
     rec_d, mrr_d = evaluate(m, test, cut_off=[1, 5], batch_size=8,

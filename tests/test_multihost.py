@@ -67,5 +67,6 @@ def test_two_process_distributed_train_and_eval(tmp_path):
         assert f"[worker {pid}] MULTIHOST PASS" in out, out
         assert f"[worker {pid}] TRAIN CHUNK OK" in out, out
         assert f"[worker {pid}] DIST FIT OK" in out, out
+        assert f"[worker {pid}] CKPT GUARD OK" in out, out
         assert f"[worker {pid}] DIST EVAL OK" in out, out
         assert f"[worker {pid}] DIST TOPK OK" in out, out
