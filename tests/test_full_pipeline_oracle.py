@@ -385,3 +385,16 @@ def test_pipeline_infit_validation_swap():
     for vs, (orec, omrr) in zip(m.valid_stats, oracle_valid):
         np.testing.assert_allclose(vs["recall"], orec, atol=5e-3)
         np.testing.assert_allclose(vs["mrr"], omrr, atol=5e-3)
+
+
+def test_pipeline_two_layer_adadelta():
+    """Two stacked GRU layers through the WHOLE pipeline (scheduler, sampled
+    scoring off the last layer, per-layer hidden resets) with adadelta —
+    the one (depth, optimizer) region the e2e oracle did not yet pin; the
+    composed oracle covers it only at single-chunk scope."""
+    m, po, test = run_pipeline_cell(dict(
+        loss="bpr-max", final_act="elu-1", layers=[10, 8], n_sample=6,
+        sample_alpha=0.5, sampler="searchsorted", learning_rate=1.0,
+        adapt="adadelta", embedding=7, chunk_size=16,
+    ))
+    assert_pipeline_matches(m, po, test)
