@@ -51,8 +51,12 @@ STAGE="${1:-}"
 [ -z "$STAGE" ] || [ "$STAGE" = dedup ] && run_stage 05_dedup_mm \
   timeout 1800 python scripts/proto_dedup_matmul.py all
 
-# 6. headline bench (driver also runs this at round end)
-[ -z "$STAGE" ] || [ "$STAGE" = bench ] && run_stage 06_bench \
+# 6. serving-path latency/throughput protocol (predict_topk + full-frame)
+[ -z "$STAGE" ] || [ "$STAGE" = serving ] && run_stage 06_serving \
+  timeout 1800 python scripts/measure_serving.py
+
+# 7. headline bench (driver also runs this at round end)
+[ -z "$STAGE" ] || [ "$STAGE" = bench ] && run_stage 07_bench \
   timeout 3000 python bench.py
 
 echo "checklist complete" | tee -a "$OUT/SUMMARY"
