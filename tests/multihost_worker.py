@@ -96,6 +96,21 @@ def main():
     np.testing.assert_allclose(wy1, wy2, rtol=2e-4, atol=1e-6)
     print(f"[worker {pid}] TRAIN CHUNK OK loss={float(loss2):.6f}", flush=True)
 
+    # a (1, 8) mesh puts the MODEL axis across the process boundary: the
+    # per-step row gathers (psum over 'model') and the shard-local scatters
+    # ride DCN instead of staying host-local
+    mesh_m = make_mesh(1, 8)
+    s3 = init_train_state(cfg, n_items, jax.random.PRNGKey(3))
+    s3 = shard_train_state(s3, cfg, mesh_m)
+    f3 = make_dist_chunk_fn(cfg, n_items, mesh_m)
+    out3 = f3(s3.params, s3.opt_state, s3.H, s3.key, s3.step,
+              *(np.asarray(a) for a in (in_c, out_c, valid_c, reset_c)),
+              np.asarray(cdf), np.asarray(logp0))
+    np.testing.assert_allclose(float(loss1), float(out3[5]), rtol=1e-4)
+    wy3 = _strip_scratch(fetch_to_host(out3[0]["Wy"]), 8)
+    np.testing.assert_allclose(wy1, wy3, rtol=2e-4, atol=1e-6)
+    print(f"[worker {pid}] MODEL-AXIS CHUNK OK", flush=True)
+
     # full state gather across the process boundary
     s2u = unshard_train_state(
         s2._replace(params=params2, opt_state=opt2, H=H2, key=key2,

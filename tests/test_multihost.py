@@ -66,6 +66,7 @@ def test_two_process_distributed_train_and_eval(tmp_path):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"[worker {pid}] MULTIHOST PASS" in out, out
         assert f"[worker {pid}] TRAIN CHUNK OK" in out, out
+        assert f"[worker {pid}] MODEL-AXIS CHUNK OK" in out, out
         assert f"[worker {pid}] DIST FIT OK" in out, out
         assert f"[worker {pid}] CKPT GUARD OK" in out, out
         assert f"[worker {pid}] DIST EVAL OK" in out, out
