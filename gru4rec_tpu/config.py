@@ -87,6 +87,15 @@ class GRU4RecConfig:
     opt_state_dtype: str = "bfloat16"
     item_pad_multiple: int = 128  # pad item tables to a multiple of this many rows (MXU tiling)
     sampler: str = "alias"        # negative sampler: "alias" (O(1)/sample) or "searchsorted" (reference scheme)
+    # Duplicate-row gradient reduction on the XLA sparse-update path:
+    # "sort" (default) = two-output sort + segment_sum (dedup_rows);
+    # "matmul" = MXU equality-matmul (ops/kernels/dedup_matmul.py) — the
+    # duplicate sum becomes one fused compare-matmul, targeting the
+    # sub-64MB shapes whose step time is dedup-dominated. Numerically
+    # identical up to f32 summation order. Opt-in pending the hardware A/B
+    # (PERF_NOTES.md round-4 checklist); the fused-kernel (>=64MB) path is
+    # unaffected either way.
+    dedup_impl: str = "sort"
 
     def __post_init__(self) -> None:
         self.validate()
@@ -123,6 +132,9 @@ class GRU4RecConfig:
             raise NotImplementedError(
                 f"Unknown opt_state_dtype: {self.opt_state_dtype!r} "
                 "(float32 | bfloat16 | bfloat16_sr)")
+        if self.dedup_impl not in ("sort", "matmul"):
+            raise NotImplementedError(
+                f"Unknown dedup_impl: {self.dedup_impl!r} (sort | matmul)")
         if (self.loss == "cross-entropy"
                 and self.final_act not in ("softmax", "softmax_logit")):
             # the reference accepts this silently and NaNs on log(score<=0)

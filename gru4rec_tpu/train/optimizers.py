@@ -104,6 +104,8 @@ class Optimizer:
         self.state_sr = cfg.opt_state_dtype == "bfloat16_sr"
         self.sparse_state_dtype = jnp.dtype(
             jnp.bfloat16 if self.state_sr else cfg.opt_state_dtype)
+        # getattr: hand-built configs predating the knob stay valid
+        self.dedup_impl = getattr(cfg, "dedup_impl", "sort")
         ap = cfg.adapt_params
         self.v1 = ap[0] if ap else 0.9
         self.v2 = ap[1] if len(ap) > 1 else 0.999
@@ -545,7 +547,12 @@ class Optimizer:
             if vel is not None:
                 st["velocity"] = vel
             return table, st
-        uidx, g = dedup_rows(idx, g)
+        if self.dedup_impl == "matmul":
+            from gru4rec_tpu.ops.kernels.dedup_matmul import dedup_rows_matmul
+
+            uidx, g = dedup_rows_matmul(idx, g)
+        else:
+            uidx, g = dedup_rows(idx, g)
         g, st = self._adapt_sparse(uidx, g, st, sr_seed=sr_seed)
         if self.lmbd > 0:
             rows = _take_rows(table, uidx)

@@ -185,3 +185,85 @@ def test_grad_cap():
     cfg2 = GRU4RecConfig(grad_cap=10.0)
     d3, _ = make_optimizer(cfg2).clip_by_global_norm(dense, sparse)
     np.testing.assert_allclose(np.asarray(d3["a"]), [3.0, 4.0])
+
+
+# --------------------------------------------------------------------------- #
+def test_dedup_matmul_matches_sort_chain():
+    """dedup_rows_matmul (MXU equality-matmul, ops/kernels/dedup_matmul.py)
+    must reproduce dedup_rows exactly on indices (bit) and sums (up to f32
+    reassociation) across duplicate patterns, sentinel-masked lanes, and
+    non-tile-aligned K/d."""
+    from gru4rec_tpu.ops.kernels.dedup_matmul import (SENTINEL,
+                                                      dedup_rows_matmul)
+
+    rng = np.random.RandomState(5)
+    for K, d, hi in ((40, 17, 8), (256, 128, 9999), (333, 101, 50),
+                     (2208, 225, 30_000)):
+        idx = rng.randint(0, hi, K).astype(np.int32)
+        idx[-3:] = int(SENTINEL)  # masked lanes
+        g = rng.randn(K, d).astype(np.float32)
+        u0, s0 = dedup_rows(jnp.asarray(idx), jnp.asarray(g))
+        u1, s1 = dedup_rows_matmul(jnp.asarray(idx), jnp.asarray(g))
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1),
+                                      err_msg=f"K={K}")
+        real = np.asarray(u0) != int(SENTINEL)
+        np.testing.assert_allclose(np.asarray(s0)[real],
+                                   np.asarray(s1)[real],
+                                   rtol=2e-5, atol=2e-5, err_msg=f"K={K}")
+    # degenerate: every index identical -> one row carries the full sum
+    idx = np.full(64, 3, np.int32)
+    g = rng.randn(64, 33).astype(np.float32)
+    u1, s1 = dedup_rows_matmul(jnp.asarray(idx), jnp.asarray(g))
+    assert int(np.asarray(u1)[0]) == 3
+    np.testing.assert_allclose(np.asarray(s1)[0], g.sum(0), rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("adapt,momentum", [("adagrad", 0.3), ("adam", 0.0)])
+def test_dedup_impl_matmul_full_chunk_parity(adapt, momentum):
+    """A whole training chunk under dedup_impl='matmul' must track the
+    default 'sort' path (same training dynamics, reassociation-only
+    noise)."""
+    from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
+
+    import jax
+
+    n_items = 70
+    def cfg(impl):
+        return GRU4RecConfig(
+            loss="bpr-max", final_act="elu-1", layers=[16], batch_size=8,
+            n_sample=12, chunk_size=6, item_pad_multiple=32,
+            learning_rate=0.1, momentum=momentum, adapt=adapt,
+            dropout_p_hidden=0.0, dropout_p_embed=0.0,
+            sampler="searchsorted", compute_dtype="float32",
+            opt_state_dtype="float32", constrained_embedding=True,
+            dedup_impl=impl,
+        )
+    rng = np.random.RandomState(1)
+    C, B = 6, 8
+    in_c = jnp.asarray(rng.randint(0, n_items, (C, B)).astype(np.int32))
+    out_c = jnp.asarray(rng.randint(0, n_items, (C, B)).astype(np.int32))
+    valid_c = jnp.asarray(np.ones((C, B), bool))
+    reset_c = jnp.asarray(np.zeros((C, B), bool))
+    cdf = jnp.asarray(np.linspace(0.01, 1.0, n_items, dtype=np.float32))
+    n_pad = 96
+    logp0 = jnp.asarray(np.zeros(n_pad, np.float32))
+
+    outs = {}
+    for impl in ("sort", "matmul"):
+        c = cfg(impl)
+        s = init_train_state(c, n_items, jax.random.PRNGKey(2))
+        f = make_chunk_fn(c, n_items)
+        s, loss, ev = f(s, in_c, out_c, valid_c, reset_c, cdf, logp0)
+        outs[impl] = (float(loss), np.asarray(s.params["Wy"]),
+                      np.asarray(s.params["Wh"][0]))
+    np.testing.assert_allclose(outs["sort"][0], outs["matmul"][0], rtol=1e-5)
+    np.testing.assert_allclose(outs["sort"][1], outs["matmul"][1],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(outs["sort"][2], outs["matmul"][2],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_dedup_impl_validation():
+    with pytest.raises(NotImplementedError):
+        GRU4RecConfig(dedup_impl="bogus")
