@@ -120,8 +120,9 @@ class GRU4RecConfig:
             # deltas drop under the bf16 half-ULP (the same failure mode
             # _ema_dtype gates optimizer state against). Memory savings come
             # from compute_dtype=bfloat16 (default) + opt_state_dtype; a
-            # trained model can still be CAST to bf16 for serving and the
-            # checkpoint layer round-trips bf16 arrays (io/checkpoint.py).
+            # trained model can still be cast to bf16 for serving
+            # (GRU4Rec.cast_for_serving) and the checkpoint layer
+            # round-trips bf16 arrays (io/checkpoint.py).
             raise NotImplementedError(
                 f"param_dtype={self.param_dtype!r}: training requires "
                 "float32 master weights (bf16 masters silently freeze under "

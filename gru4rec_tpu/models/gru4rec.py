@@ -255,6 +255,15 @@ class GRU4Rec:
         elif retrain:
             from gru4rec_tpu.train.step import TrainState
 
+            if jnp.asarray(self.params["Wy"]).dtype != jnp.float32:
+                # cast_for_serving narrowed the masters; training on them
+                # would silently freeze (see config.py's param_dtype guard)
+                raise NotImplementedError(
+                    "retrain requires float32 master weights, but this "
+                    "model's parameters are "
+                    f"{jnp.asarray(self.params['Wy']).dtype} (cast for "
+                    "serving?). Reload the float32 checkpoint to retrain."
+                )
             if self._train_state is not None:
                 prev = self._train_state
             else:
@@ -781,6 +790,34 @@ class GRU4Rec:
         from gru4rec_tpu.parallel.mesh import fetch_to_host
 
         return vocab[fetch_to_host(ids)], fetch_to_host(scores)
+
+    # ------------------------------------------------------------------ #
+    def cast_for_serving(self, dtype="bfloat16") -> "GRU4Rec":
+        """Cast the parameters to a narrower serving dtype in place and
+        return self (the cast promised at config.py's param_dtype note).
+
+        Halves the item tables' HBM footprint — the usual reason a serving
+        replica needs a bigger chip than inference math requires. Scoring
+        matmuls already run in ``compute_dtype`` with f32 accumulation, so
+        the additional error is one storage rounding of the weights
+        (~0.4% relative for bfloat16); top-k order can differ for
+        near-tied candidates. Compiled predict/eval functions re-trace
+        automatically (params are traced arguments) and the sharded top-k
+        cache re-places on the params-identity change.
+
+        Serving-only: a later ``fit()`` re-initializes fresh float32
+        master weights (narrow masters would freeze under round-to-nearest
+        updates — the param_dtype guard); keep the f32 checkpoint if you
+        need to train again. ``savemodel`` round-trips the cast model
+        (checkpoints tag per-array dtypes)."""
+        dt = jnp.dtype(dtype)
+        self.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dt), self.params)
+        if self._train_state is not None:
+            # the live train state still holds the f32 tables; drop it so
+            # serving paths that prefer it cannot resurrect stale weights
+            self._train_state = None
+        return self
 
     # ------------------------------------------------------------------ #
     def savemodel(self, fname: str, include_optimizer: bool = False):

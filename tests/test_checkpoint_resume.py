@@ -368,3 +368,52 @@ def test_retrain_preserves_narrow_opt_state_dtype():
     after = {n: {k: v.dtype for k, v in leaves.items()}
              for n, leaves in st2.items()}
     assert before == after
+
+
+# --------------------------------------------------------------------------- #
+def test_cast_for_serving(tmp_path):
+    """cast_for_serving halves table storage, keeps serving working (top-k
+    near-identical, metrics close), round-trips through checkpoints, and
+    refuses a retrain on the narrowed masters."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from gru4rec_tpu.eval import evaluate
+
+    data = markov_data(n_sessions=150)
+    test = markov_data(n_sessions=30, seed=9)
+    m = GRU4Rec(small_cfg(n_epochs=2))
+    m.fit(data)
+    rec_f32, _ = evaluate(m, test, cut_off=[5], batch_size=8)
+    ids_f32, sc_f32 = m.predict_topk(list(range(8)),
+                                     test.ItemId.values[:8], k=5, batch=8)
+
+    m.cast_for_serving()
+    assert jnp.asarray(m.params["Wy"]).dtype == jnp.bfloat16
+    assert all(jnp.asarray(w).dtype == jnp.bfloat16 for w in m.params["Wh"])
+
+    m.H = None
+    m._current_session = None
+    m._predict_batch = None
+    m._predict_fn = None
+    m._topk_fn = None
+    ids_bf, sc_bf = m.predict_topk(list(range(8)),
+                                   test.ItemId.values[:8], k=5, batch=8)
+    # one storage rounding: near-tied candidates may swap, most must agree
+    agree = np.mean([len(set(a) & set(b)) / 5.0
+                     for a, b in zip(ids_f32, ids_bf)])
+    assert agree >= 0.8, (agree, ids_f32[:2], ids_bf[:2])
+    rec_bf, _ = evaluate(m, test, cut_off=[5], batch_size=8)
+    assert abs(rec_bf[0] - rec_f32[0]) < 0.05, (rec_f32, rec_bf)
+
+    # checkpoint round-trip preserves the narrow dtype
+    p = str(tmp_path / "bf16.npz")
+    m.savemodel(p)
+    m2 = type(m).loadmodel(p)
+    assert jnp.asarray(m2.params["Wy"]).dtype == jnp.bfloat16
+    rec_l, _ = evaluate(m2, test, cut_off=[5], batch_size=8)
+    np.testing.assert_allclose(rec_l, rec_bf, atol=1e-6)
+
+    # retrain on narrowed masters must refuse
+    with _pytest.raises(NotImplementedError, match="float32 master"):
+        m.fit(data, retrain=True)
