@@ -173,11 +173,31 @@ def _is_primary_process() -> bool:
         return True
 
 
+def _write_barrier(name: str) -> None:
+    """Collective barrier after a primary-only write: without it, on a
+    shared filesystem a non-primary process can reach loadmodel() before
+    process 0 finished writing (orbax pairs its primary-only writes with
+    sync_global_devices the same way). Every process must call this —
+    including the ones that skipped the write. No-op single-process."""
+    try:
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+    except Exception:  # pragma: no cover - uninitialized backends
+        pass
+
+
 def save_model(model, fname: str, include_optimizer: bool = False) -> None:
     """Serialize a trained GRU4Rec model (and optionally its optimizer state).
 
-    In a multi-host run only process 0 writes (see _is_primary_process)."""
+    In a multi-host run only process 0 writes (see _is_primary_process);
+    every process leaves through the same write barrier."""
     if not _is_primary_process():
+        _write_barrier("gru4rec_save_model")
         return
     payload = _flatten_params(model.params)
     keys = np.asarray(model.itemidmap.index.values)
@@ -199,6 +219,7 @@ def save_model(model, fname: str, include_optimizer: bool = False) -> None:
             payload[f"opt_dtype/{i}"] = np.array(str(np.asarray(arr).dtype))
         payload["meta/opt_step"] = np.asarray(model._train_state.step)
     np.savez(fname, **_encode_payload(payload))
+    _write_barrier("gru4rec_save_model")
 
 
 def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
@@ -206,8 +227,10 @@ def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
     RNG key + step counter + epoch — everything needed for exact resume.
     The reference cannot resume mid-training at all (SURVEY.md §5).
 
-    In a multi-host run only process 0 writes (see _is_primary_process)."""
+    In a multi-host run only process 0 writes (see _is_primary_process);
+    every process leaves through the same write barrier."""
     if not _is_primary_process():
+        _write_barrier("gru4rec_save_ckpt")
         return
     payload = _flatten_params(state.params)
     opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
@@ -232,6 +255,7 @@ def save_train_checkpoint(model, state, epoch: int, fname: str) -> None:
     payload["itemidmap/keys"] = keys
     payload["itemidmap/values"] = model.itemidmap.values
     np.savez(fname, **_encode_payload(payload))
+    _write_barrier("gru4rec_save_ckpt")
 
 
 def load_train_checkpoint(fname: str, model):

@@ -476,7 +476,13 @@ class GRU4Rec:
                 self._train_state = ckpt_state
                 self.params = ckpt_state.params
                 save_train_checkpoint(self, ckpt_state, epoch + 1, checkpoint_path)
-                print(f"Checkpoint saved to {checkpoint_path} (epoch {epoch + 1})")
+                from gru4rec_tpu.io.checkpoint import _is_primary_process
+
+                if _is_primary_process():
+                    # non-primary hosts did NOT write a local file — logging
+                    # one would point a resume at a path that doesn't exist
+                    print(f"Checkpoint saved to {checkpoint_path} "
+                          f"(epoch {epoch + 1})")
         if mesh is not None:
             # gather sharded params back to host-local arrays in the canonical
             # layout so the single-device eval/serving paths work unchanged

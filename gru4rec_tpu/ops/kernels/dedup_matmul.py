@@ -14,12 +14,14 @@ the summation runs on the MXU instead of the VPU's segment machinery:
   (2*K^2*d f32 MXU FLOPs). The Pallas kernel builds each (128, K)
   equality block in-register; the eq matrix never exists in memory.
 
-Numerics: the summand SETS are identical to dedup_rows'; only the
-accumulation order differs (MXU tree reduction vs sequential
-segment_sum), so results are allclose, not bit-equal — differential tests
-must compare with a small tolerance. Sentinel-index entries (masked
-lanes, non-owned shard rows) group under the sentinel row exactly like
-dedup_rows and are dropped by the consuming ``mode="drop"`` scatter.
+Numerics: the summand SETS are identical to dedup_rows' for every REAL
+row; only the accumulation order differs (MXU tree reduction vs
+sequential segment_sum), so results are allclose, not bit-equal —
+differential tests must compare with a small tolerance. Sentinel rows
+(masked lanes, non-owned shard rows, tail padding) are ZERO here, while
+dedup_rows leaves the masked-lane sum in its first sentinel row; both are
+consumed only through ``mode="drop"`` scatters, which drop them either
+way — no consumer may read sentinel rows.
 
 Motivation: the dedup chain is the largest fixed cost of small-shape
 steps on the XLA-scatter path (the sub-64MB regime where the grouped
@@ -53,8 +55,12 @@ def _eq_mm_kernel(uidx_ref, idx_ref, g_ref, out_ref):
     # uidx arrives as a (128, 1) column, idx as a (1, K) row: the compare is
     # a plain 2-D broadcast (no 1-D refs / reshapes, which Mosaic lowers
     # poorly). The 0/1 operand is exact in f32, so each summand enters the
-    # MXU un-rounded.
-    eq = uidx_ref[:] == idx_ref[:]
+    # MXU un-rounded. Sentinel output rows are zeroed in the same fused
+    # compare (dedup_rows leaves its FIRST sentinel row holding the
+    # masked-lane sum and later tail rows zero — both layouts are consumed
+    # only through mode="drop" scatters, but zeros make this impl's tail
+    # deterministic rather than contract-divergent).
+    eq = (uidx_ref[:] == idx_ref[:]) & (uidx_ref[:] != SENTINEL)
     out_ref[:] = jnp.dot(eq.astype(jnp.float32), g_ref[:],
                          preferred_element_type=jnp.float32)
 

@@ -64,43 +64,12 @@ def dedup_rows_mm_xla(idx, g):
     return uidx, jnp.dot(eq, g, preferred_element_type=jnp.float32)
 
 
-def _mm_kernel(uidx_ref, idx_ref, g_ref, out_ref):
-    # (128, K) equality block built in-register; one 1 per column ->
-    # the dot IS the duplicate sum. f32 MXU: exactness of the 0/1 operand
-    # keeps each summand un-rounded. uidx arrives as a (128, 1) column and
-    # idx as a (1, K) row so the compare is a plain 2-D broadcast (no 1-D
-    # refs / in-kernel reshapes, which Mosaic lowers poorly).
-    eq = uidx_ref[:] == idx_ref[:]
-    out_ref[:] = jnp.dot(eq.astype(jnp.float32), g_ref[:],
-                         preferred_element_type=jnp.float32)
+# the SHIPPED kernel (ops/kernels/dedup_matmul.py) IS the measured variant:
+# benchmarking a local copy would let the product path and the A/B number
+# silently drift apart
+from gru4rec_tpu.ops.kernels.dedup_matmul import dedup_rows_matmul
 
-
-@functools.partial(jax.jit, static_argnames=("d_block",))
-def dedup_rows_mm_pallas(idx, g, d_block=256):
-    K, d = g.shape
-    k_pad = -K % 128  # sentinel-pad the lane dim to the MXU tile
-    d_pad = -d % d_block
-    gp = jnp.pad(g, ((0, k_pad), (0, d_pad))) if (k_pad or d_pad) else g
-    idx_p = (jnp.pad(idx.astype(jnp.int32), (0, k_pad),
-                     constant_values=SENTINEL) if k_pad else
-             idx.astype(jnp.int32))
-    Kp = K + k_pad
-    uidx = _uidx_two_sorts(idx_p)
-    out = pl.pallas_call(
-        _mm_kernel,
-        grid=(Kp // 128, (d + d_pad) // d_block),
-        in_specs=[
-            pl.BlockSpec((128, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, Kp), lambda i, j: (0, 0)),
-            pl.BlockSpec((Kp, d_block), lambda i, j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((128, d_block), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((Kp, d + d_pad), jnp.float32),
-        interpret=jax.default_backend() == "cpu",
-    )(uidx[:, None], idx_p[None, :], gp)
-    # distinct count <= K, so slicing back to K keeps every real row (the
-    # tail is sentinel either way — matches dedup_rows' layout exactly)
-    return uidx[:K], out[:K, :d]
+dedup_rows_mm_pallas = dedup_rows_matmul
 
 
 VARIANTS = {

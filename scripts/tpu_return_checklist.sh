@@ -14,6 +14,13 @@ OUT=/tmp/tpuq
 mkdir -p "$OUT"
 : > "$OUT/SUMMARY"
 
+STAGE="${1:-}"
+STAGES="kernels v4ab sr eval dedup serving bench"
+if [ -n "$STAGE" ] && ! printf '%s\n' $STAGES | grep -qx "$STAGE"; then
+  echo "unknown stage '$STAGE' (valid: $STAGES)" >&2
+  exit 2
+fi
+
 run_stage() {
   local name="$1"; shift
   local log="$OUT/${name}.log"
@@ -26,37 +33,41 @@ run_stage() {
   fi
 }
 
-want() { [ $# -eq 0 ] || [ -z "${STAGE:-}" ] || [ "${STAGE}" = "$1" ]; }
-STAGE="${1:-}"
+want() { [ -z "$STAGE" ] || [ "$STAGE" = "$1" ]; }
 
-# 1. first real-Mosaic compile of the SR/v4 Pallas ops (interpret mode
-#    cannot prove lowering) — run the kernel test files ON the TPU backend
-[ -z "$STAGE" ] || [ "$STAGE" = kernels ] && run_stage 01_kernels \
+# 1. first real-Mosaic compile of the Pallas ops that have only ever run
+#    in interpret mode: SR/v4 update kernels AND the shipped equality-
+#    matmul dedup kernel (its differential tests live in test_optimizers)
+want kernels && run_stage 01_kernels \
   env GRU4REC_TPU_TEST_PLATFORM=tpu timeout 3000 \
-  python -m pytest tests/test_sr_state.py tests/test_pallas_kernels.py -x -q
+  python -m pytest tests/test_sr_state.py tests/test_pallas_kernels.py \
+    "tests/test_optimizers.py::test_dedup_matmul_matches_sort_chain" \
+    "tests/test_optimizers.py::test_dedup_impl_matmul_full_chunk_parity" \
+    -x -q
 
 # 2. queued v3/v4 A/B (decision procedure: PERF_NOTES "v4 kernel" section)
-[ -z "$STAGE" ] || [ "$STAGE" = v4ab ] && run_stage 02_v4ab \
+want v4ab && run_stage 02_v4ab \
   timeout 3000 python scripts/measure_shapes.py v4ab
 
 # 3. SR-state A/B incl. sub-64MB forced rows
-[ -z "$STAGE" ] || [ "$STAGE" = sr ] && run_stage 03_sr \
+want sr && run_stage 03_sr \
   timeout 3000 python scripts/measure_shapes.py sr
 
 # 4. eval-throughput protocol at the reference's published setup
-[ -z "$STAGE" ] || [ "$STAGE" = eval ] && run_stage 04_eval \
+want eval && run_stage 04_eval \
   timeout 1800 python scripts/measure_eval.py
 
 # 5. round-4 candidate: equality-matmul dedup for the sub-64MB regime
-[ -z "$STAGE" ] || [ "$STAGE" = dedup ] && run_stage 05_dedup_mm \
+#    (mm_pal IS the shipped ops/kernels/dedup_matmul.py function)
+want dedup && run_stage 05_dedup_mm \
   timeout 1800 python scripts/proto_dedup_matmul.py all
 
 # 6. serving-path latency/throughput protocol (predict_topk + full-frame)
-[ -z "$STAGE" ] || [ "$STAGE" = serving ] && run_stage 06_serving \
+want serving && run_stage 06_serving \
   timeout 1800 python scripts/measure_serving.py
 
 # 7. headline bench (driver also runs this at round end)
-[ -z "$STAGE" ] || [ "$STAGE" = bench ] && run_stage 07_bench \
+want bench && run_stage 07_bench \
   timeout 3000 python bench.py
 
 echo "checklist complete" | tee -a "$OUT/SUMMARY"

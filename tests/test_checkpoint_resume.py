@@ -392,12 +392,12 @@ def test_cast_for_serving(tmp_path):
     assert jnp.asarray(m.params["Wy"]).dtype == jnp.bfloat16
     assert all(jnp.asarray(w).dtype == jnp.bfloat16 for w in m.params["Wh"])
 
-    m.H = None
-    m._current_session = None
-    m._predict_batch = None
-    m._predict_fn = None
-    m._topk_fn = None
-    ids_bf, sc_bf = m.predict_topk(list(range(8)),
+    # deliberately WARM: the docstring promises compiled predict fns
+    # re-trace on the dtype change mid-session (no cache resets here).
+    # Fresh session ids force lane resets so the comparison is
+    # like-for-like (same session ids would CONTINUE from the f32 call's
+    # advanced hidden state — a different step, not a cast effect)
+    ids_bf, sc_bf = m.predict_topk(list(range(100, 108)),
                                    test.ItemId.values[:8], k=5, batch=8)
     # one storage rounding: near-tied candidates may swap, most must agree
     agree = np.mean([len(set(a) & set(b)) / 5.0
