@@ -11,7 +11,10 @@ sessions. Throughput is compute-bound on the model/batch/negative-sample
 shape, not on item-ID content, so events/s is comparable.
 
 Prints exactly one JSON line:
-  {"metric": "...", "value": N, "unit": "events/s", "vs_baseline": N/81400}
+  {"metric": "...", "value": N, "unit": "events/s", "vs_baseline": N/81400,
+   "baseline_hw": "NVIDIA A30 (...)", "bench_hw": "<this device kind>"}
+(the *_hw fields make the cross-hardware nature of the ratio explicit in
+the machine-readable record, not just the README prose).
 """
 
 import json
