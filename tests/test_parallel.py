@@ -33,7 +33,7 @@ def _mk_inputs(cfg, n_items, seed=0):
     return in_c, out_c, valid_c, reset_c, cdf, logp0
 
 
-def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad"):
+def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad", **extra_cfg):
     from gru4rec_tpu.parallel.dist_step import _strip_scratch
 
     n_items = 90
@@ -47,7 +47,7 @@ def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad"):
         # operand blocking, and stochastically-rounded narrow optimizer state
         # draws different bits per shard packing; parity needs bit-stable f32
         compute_dtype="float32", opt_state_dtype="float32",
-        **mode_kwargs,
+        **mode_kwargs, **extra_cfg,
     )
     inputs = _mk_inputs(cfg, n_items)
     args = tuple(jnp.asarray(a) for a in inputs)
@@ -101,6 +101,15 @@ def _run_dist_vs_single(mode_kwargs, loss, adapt="adagrad"):
 @pytest.mark.parametrize("loss", ["bpr-max", "cross-entropy"])
 def test_dist_matches_single_device(mode_kwargs, loss):
     _run_dist_vs_single(mode_kwargs, loss)
+
+
+def test_dist_with_matmul_dedup_matches_single_device():
+    """dedup_impl='matmul' on the distributed XLA path: the shard-local
+    index vectors carry SENTINEL for every non-owned row, so the equality
+    matmul's fused sentinel handling must reproduce the sort chain's
+    update under sharding (single-device side runs the same impl)."""
+    _run_dist_vs_single({"constrained_embedding": True}, "bpr-max",
+                        dedup_impl="matmul")
 
 
 @pytest.mark.parametrize("version", [None, "v4"])
