@@ -82,3 +82,43 @@ def test_matmul_dedup_inside_chunk_lowers_for_tpu(monkeypatch):
     the regime the knob targets) must lower for TPU as a whole chunk."""
     _export_chunk_for_tpu(monkeypatch, None, "bfloat16", "adagrad",
                           dedup_impl="matmul", force_pallas=False)
+
+
+def test_dist_chunk_with_sr_kernel_lowers_for_tpu(monkeypatch):
+    """The full DISTRIBUTED training chunk — 2x4 shard_map, all_gather /
+    psum collectives, per-shard v3 kernel with stochastic-rounding state —
+    lowers for an 8-device TPU target from a CPU host (the multichip
+    program the driver dry-runs, proven at the Mosaic-lowering level)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gru4rec_tpu.parallel.dist_step import (make_dist_chunk_fn,
+                                                shard_train_state)
+    from gru4rec_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS", True)
+    monkeypatch.setattr(optmod, "_FORCE_PALLAS_VERSION", "v3")
+    mesh = make_mesh(2, 4)
+    n_items = 200
+    cfg = GRU4RecConfig(
+        loss="bpr-max", final_act="elu-1", layers=[32], batch_size=8,
+        n_sample=16, chunk_size=2, item_pad_multiple=128,
+        learning_rate=0.1, adapt="adagrad", opt_state_dtype="bfloat16_sr",
+        constrained_embedding=True, sampler="alias",
+    )
+    s = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
+    s = shard_train_state(s, cfg, mesh)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fn = make_dist_chunk_fn(cfg, n_items, mesh)
+    sh = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+    C, B = cfg.chunk_size, cfg.batch_size
+    args = [jax.ShapeDtypeStruct((C, B), jnp.int32),
+            jax.ShapeDtypeStruct((C, B), jnp.int32),
+            jax.ShapeDtypeStruct((C, B), jnp.bool_),
+            jax.ShapeDtypeStruct((C, B), jnp.bool_),
+            jax.ShapeDtypeStruct((n_items, 2), jnp.int32),
+            jax.ShapeDtypeStruct((256,), jnp.float32)]
+    tree = jax.tree_util.tree_map(
+        sh, (s.params, s.opt_state, s.H, s.key, s.step))
+    exp = export.export(fn, platforms=["tpu"])(*tree, *args)
+    assert exp.nr_devices == 8
+    assert len(exp.mlir_module()) > 1000
