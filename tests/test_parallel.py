@@ -591,3 +591,41 @@ def test_tiebreaking_agreement_bound_on_fully_tied_scores(eval_model):
     mrr_sd = float(np.sqrt(mrr_p / n_events))  # crude upper bound on var
     for name, v in (("single", mrr_s[0]), ("mesh", mrr_d[0])):
         assert abs(v - mrr_p) <= 4.5 * mrr_sd, (name, v, mrr_p)
+
+
+def test_tiebreaking_subset_mesh_agreement_bound(eval_model):
+    """items-subset + 'tiebreaking' + mesh in one evaluation (the last
+    untested mode combination): on fully-tied zero scores the two paths'
+    gap must stay inside the two-sample binomial bound around the pooled
+    observed rate (the subset self-column adjustment makes the exact
+    closed form fiddly; the mutual bound needs only iid-uniform ranks,
+    which full ties guarantee on both paths)."""
+    from gru4rec_tpu.eval import evaluate
+
+    m, test = eval_model
+    mesh = make_mesh(2, 4)
+    reps = []
+    for r in range(10):
+        t = test.copy()
+        t["SessionId"] = t["SessionId"] + 10_000 * (r + 1)
+        reps.append(t)
+    big = __import__("pandas").concat(reps, ignore_index=True)
+    n_events = sum(big.groupby("SessionId").size() - 1)
+    items = [f"it{i}" for i in range(13)]  # strict subset: self-adj path
+
+    prev = m.params
+    tied = dict(prev)
+    tied["Wy"] = jnp.zeros_like(prev["Wy"])
+    m.params = tied
+    try:
+        rec_s, _ = evaluate(m, big, items=items, cut_off=[5], batch_size=8,
+                            mode="tiebreaking")
+        rec_d, _ = evaluate(m, big, items=items, cut_off=[5], batch_size=8,
+                            mode="tiebreaking", mesh=mesh)
+    finally:
+        m.params = prev
+    p_hat = 0.5 * (rec_s[0] + rec_d[0])
+    assert 0.0 < p_hat < 1.0, (rec_s, rec_d)
+    sd = float(np.sqrt(max(p_hat * (1 - p_hat), 1e-6) / n_events))
+    assert abs(rec_d[0] - rec_s[0]) <= 4.5 * np.sqrt(2.0) * sd, (
+        rec_s[0], rec_d[0], sd, n_events)
