@@ -431,8 +431,16 @@ class Optimizer:
             return None
         nbytes = table.shape[0] * table.shape[1] * table.dtype.itemsize
         if width_ok and nbytes >= V3_MIN_TABLE_BYTES:
-            if (n_idx is not None
-                    and (n_idx + 16) * table.shape[1] * 4 <= COMPACT_VMEM_BYTES):
+            # Measured r4 hardware A/B (PERF_NOTES "v4 refutation"): v3
+            # beats v4 at EVERY >=64MB shape (rees46 adagrad 573 vs 846 us)
+            # — v4's per-group one-hot alignment matmul costs more than the
+            # DMA issue + gpad staging it saves. The one exception is
+            # adam + SR state, where v4's compact path wins ~4% (977 vs
+            # 1015 us). Sub-64MB v4 lost to XLA everywhere, so there is no
+            # v4 dispatch floor below the v3 line.
+            if (self.state_sr and self.adapt == "adam" and n_idx is not None
+                    and (n_idx + 16) * table.shape[1] * 4
+                    <= COMPACT_VMEM_BYTES):
                 return "v4"
             return "v3"
         if table.shape[0] >= PALLAS_MIN_ROWS:
@@ -548,9 +556,15 @@ class Optimizer:
                 st["velocity"] = vel
             return table, st
         if self.dedup_impl == "matmul":
-            from gru4rec_tpu.ops.kernels.dedup_matmul import dedup_rows_matmul
+            from gru4rec_tpu.ops.kernels.dedup_matmul import (MATMUL_MAX_K2D,
+                                                              dedup_rows_matmul)
 
-            uidx, g = dedup_rows_matmul(idx, g)
+            if idx.shape[0] ** 2 * g.shape[1] <= MATMUL_MAX_K2D:
+                uidx, g = dedup_rows_matmul(idx, g)
+            else:
+                # the equality matmul is O(K^2 d); past the measured
+                # crossover the sort chain wins (dedup_matmul.py gate)
+                uidx, g = dedup_rows(idx, g)
         else:
             uidx, g = dedup_rows(idx, g)
         g, st = self._adapt_sparse(uidx, g, st, sr_seed=sr_seed)

@@ -92,6 +92,44 @@ def measure_topk(m, batch, reps):
     }))
 
 
+def measure_topk_device(m, batch, reps):
+    """Device-compute latency: one jitted lax.scan chains ``reps`` topk
+    steps entirely on device (hidden-state carry, ids/scores stacked),
+    syncing once. Through the remote-execution tunnel every individual
+    predict_topk call pays a host round trip (~50 ms measured), so the
+    per-call wall numbers above are TUNNEL-bound; this is the number a
+    co-located server (or a batch scorer) would see per step."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    sess = np.arange(batch)
+    vocab = m.itemidmap.index.values
+    m.predict_topk(sess, vocab[rng.randint(0, N_ITEMS, batch)], k=K,
+                   batch=batch)  # compile + wire lane state
+    topk_fn = m._topk_fn
+    in_seq = jnp.asarray(rng.randint(0, N_ITEMS, (reps, batch)), jnp.int32)
+
+    @jax.jit
+    def scan_topk(params, H, in_seq):
+        def body(Hc, x):
+            Hc2, idx, sc = topk_fn(params, Hc, x)
+            return Hc2, (idx, sc)
+        return jax.lax.scan(body, H, in_seq)
+
+    H, (ids, _) = scan_topk(m.params, m.H, in_seq)  # compile + warm
+    np.asarray(ids[-1])
+    t0 = time.time()
+    H, (ids, _) = scan_topk(m.params, m.H, in_seq)
+    np.asarray(ids[-1])
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "predict_topk_device", "batch": batch, "k": K,
+        "ms_per_call": round(dt / reps * 1e3, 3),
+        "events_per_s": round(batch * reps / dt, 1),
+    }))
+
+
 def measure_next_batch(m, batch, reps):
     rng = np.random.RandomState(0)
     vocab = m.itemidmap.index.values
@@ -115,6 +153,8 @@ def main():
     m = build_model()
     for batch in (1, 32, 256):
         measure_topk(m, batch, reps)
+    for batch in (1, 256):
+        measure_topk_device(m, batch, reps)
     measure_next_batch(m, 512, max(5, reps // 10))
 
 

@@ -55,13 +55,13 @@ SHAPES = {
 
 
 def run(shape_name, adapt="adagrad", force_pallas=None,
-        opt_state_dtype="bfloat16", force_version=None):
+        opt_state_dtype="bfloat16", force_version=None, dedup_impl="sort"):
     sh = dict(SHAPES[shape_name])
     n_items = sh.pop("n_items")
     cfg = GRU4RecConfig(
         n_sample=2048, learning_rate=0.05, adapt=adapt,
         constrained_embedding=True, chunk_size=CHUNK,
-        opt_state_dtype=opt_state_dtype,
+        opt_state_dtype=opt_state_dtype, dedup_impl=dedup_impl,
         dropout_p_embed=0.0, dropout_p_hidden=0.0, **sh,
     )
     optmod._FORCE_PALLAS = force_pallas
@@ -99,6 +99,7 @@ def run(shape_name, adapt="adagrad", force_pallas=None,
                    ("on" if force_pallas else "off")),
         "opt_state_dtype": opt_state_dtype,
         "version": force_version or "auto",
+        "dedup_impl": dedup_impl,
         "us_per_step": round(us_per_step, 1),
         "events_per_s": round(ev_per_s, 0),
     }), flush=True)
@@ -161,19 +162,34 @@ RUNS_SR = [
     ("coveo", "adagrad", True, "v4", "bfloat16_sr"),
 ]
 
+# Whole-fit-path dedup A/B: the XLA-scatter shapes (sub-64MB tables),
+# kernel auto (=off there), sort chain vs gated equality matmul
+RUNS_DEDUP = [
+    ("retailrocket", "adagrad", None, None, None, "sort"),
+    ("retailrocket", "adagrad", None, None, None, "matmul"),
+    ("rsc15", "adagrad", None, None, None, "sort"),
+    ("rsc15", "adagrad", None, None, None, "matmul"),
+    ("coveo", "adagrad", None, None, None, "sort"),
+    ("coveo", "adagrad", None, None, None, "matmul"),
+    ("retailrocket", "adam", None, None, None, "sort"),
+    ("retailrocket", "adam", None, None, None, "matmul"),
+]
+
 if __name__ == "__main__":
     tags = sys.argv[1:]
-    runs = [r + (None, None) for r in RUNS]
+    runs = [r + (None, None, "sort") for r in RUNS]
     if tags and tags[0] == "v4ab":
-        runs, tags = [r + (None,) for r in RUNS_V4], tags[1:]
+        runs, tags = [r + (None, "sort") for r in RUNS_V4], tags[1:]
     elif tags and tags[0] == "sr":
-        runs, tags = RUNS_SR, tags[1:]
-    for shape, adapt, force, ver, osd in runs:
+        runs, tags = [r + ("sort",) for r in RUNS_SR], tags[1:]
+    elif tags and tags[0] == "dedup":
+        runs, tags = RUNS_DEDUP, tags[1:]
+    for shape, adapt, force, ver, osd, dd in runs:
         if tags and shape not in tags:
             continue
         try:
             run(shape, adapt, force, force_version=ver,
-                opt_state_dtype=osd or "bfloat16")
+                opt_state_dtype=osd or "bfloat16", dedup_impl=dd)
         except Exception as e:
             print(json.dumps({"shape": shape, "adapt": adapt, "version": ver,
                               "opt_state_dtype": osd, "error": str(e)[:300]}),

@@ -64,18 +64,16 @@ def dedup_rows_mm_xla(idx, g):
     return uidx, jnp.dot(eq, g, preferred_element_type=jnp.float32)
 
 
-# the SHIPPED kernel (ops/kernels/dedup_matmul.py) IS the measured variant:
+# the SHIPPED impl (ops/kernels/dedup_matmul.py) IS the measured variant:
 # benchmarking a local copy would let the product path and the A/B number
-# silently drift apart
+# silently drift apart. mm_xla above stays as the single-bf16-pass control
+# (its timing is what an IMPRECISE dot would buy — a lower bound).
 from gru4rec_tpu.ops.kernels.dedup_matmul import dedup_rows_matmul
-
-dedup_rows_mm_pallas = dedup_rows_matmul
-
 
 VARIANTS = {
     "chain": dedup_rows,
     "mm_xla": dedup_rows_mm_xla,
-    "mm_pal": dedup_rows_mm_pallas,
+    "mm_exact": dedup_rows_matmul,
 }
 
 # (name, n_rows, d, K, n_distinct-ish pool)
@@ -84,6 +82,11 @@ SHAPES = {
     "rsc15": (37_968, 101, 2112, 20_000),
     "coveo": (10_848, 257, 2176, 9_000),
     "yoochoose": (27_000, 481, 2144, 15_000),
+    # big-K rows bound the O(K^2 d) matmul's crossover for the dispatch
+    # gate (large-batch sub-64MB configs: flagship at batch 512, and a
+    # worst-case wide-d synthetic)
+    "flagship_b512": (36_968, 225, 3072, 20_000),
+    "bigK_wide": (36_968, 513, 4224, 20_000),
 }
 
 
@@ -94,7 +97,7 @@ def check():
         idx[-7:] = SENTINEL  # masked lanes
         g = rng.randn(K, d).astype(np.float32)
         u0, s0 = dedup_rows(jnp.asarray(idx), jnp.asarray(g))
-        for name in ("mm_xla", "mm_pal"):
+        for name in ("mm_xla", "mm_exact"):
             u1, s1 = VARIANTS[name](jnp.asarray(idx), jnp.asarray(g))
             np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1),
                                           err_msg=name)

@@ -217,6 +217,45 @@ def test_dedup_matmul_matches_sort_chain():
     assert int(np.asarray(u1)[0]) == 3
     np.testing.assert_allclose(np.asarray(s1)[0], g.sum(0), rtol=1e-5,
                                atol=1e-5)
+    # the matmul itself stays exact at K past the dispatch gate (the gate
+    # is a PERF crossover, not a correctness cliff)
+    K = 6016
+    idx = rng.randint(0, 9000, K).astype(np.int32)
+    g = rng.randn(K, 129).astype(np.float32)
+    u0, s0 = dedup_rows(jnp.asarray(idx), jnp.asarray(g))
+    u1, s1 = dedup_rows_matmul(jnp.asarray(idx), jnp.asarray(g))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    real = np.asarray(u0) != int(SENTINEL)
+    np.testing.assert_allclose(np.asarray(s0)[real], np.asarray(s1)[real],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dedup_matmul_dispatch_k_gate(monkeypatch):
+    """apply_sparse with dedup_impl='matmul' must take the sort chain past
+    the MATMUL_MAX_K2D crossover (K^2*d) and the matmul at or below it."""
+    import gru4rec_tpu.ops.kernels.dedup_matmul as dm
+
+    calls = []
+    real_mm = dm.dedup_rows_matmul
+    monkeypatch.setattr(dm, "dedup_rows_matmul",
+                        lambda i, g: calls.append(int(i.shape[0]))
+                        or real_mm(i, g))
+    cfg = GRU4RecConfig(adapt="adagrad", learning_rate=0.1,
+                        dedup_impl="matmul")
+    opt = make_optimizer(cfg)
+    rng = np.random.RandomState(0)
+    d = 16
+    table = jnp.asarray(rng.randn(64, d).astype(np.float32))
+    st = opt.init_state(table, sparse=True)
+    small = jnp.asarray(rng.randint(0, 56, 24).astype(np.int32))
+    g_small = jnp.asarray(rng.randn(24, d).astype(np.float32))
+    opt.apply_sparse(table, small, g_small, st)
+    assert calls == [24]
+    big_k = int((dm.MATMUL_MAX_K2D / d) ** 0.5) + 8
+    big = jnp.asarray(rng.randint(0, 56, big_k).astype(np.int32))
+    g_big = jnp.asarray(rng.randn(big_k, d).astype(np.float32))
+    opt.apply_sparse(table, big, g_big, st)
+    assert calls == [24]  # chain took the big-K call
 
 
 @pytest.mark.parametrize("adapt,momentum", [("adagrad", 0.3), ("adam", 0.0)])

@@ -70,7 +70,7 @@ def test_dedup_matmul_kernel_lowers_for_tpu(monkeypatch):
     from gru4rec_tpu.ops.kernels.dedup_matmul import dedup_rows_matmul
 
     K, d = 2208, 225
-    fn = jax.jit(lambda i, g: dedup_rows_matmul(i, g, interpret=False))
+    fn = jax.jit(dedup_rows_matmul)
     exp = export.export(fn, platforms=["tpu"])(
         jax.ShapeDtypeStruct((K,), jnp.int32),
         jax.ShapeDtypeStruct((K, d), jnp.float32))
