@@ -204,13 +204,14 @@ def test_group_pack_compact_invariants():
 
 
 def test_kernel_version_auto_dispatch(monkeypatch):
-    """Auto dispatch: v4 when the table clears V3_MIN_TABLE_BYTES and the
-    compact gradient buffer fits the VMEM budget; v3 above it; v2 for
-    unaligned widths at PALLAS_MIN_ROWS; XLA below both."""
+    """Auto dispatch after the round-4 hardware A/B (PERF_NOTES "v4
+    refutation"): v3 wherever the table clears V3_MIN_TABLE_BYTES with a
+    128-aligned width — v4 ONLY for adam + SR state with a VMEM-fitting
+    compact buffer (the one measured v4 win); v2 for unaligned widths at
+    PALLAS_MIN_ROWS; XLA below both."""
     import gru4rec_tpu.ops.kernels.sparse_update as su
 
     monkeypatch.setattr(su, "_kernels_available", lambda: True)
-    opt = make_optimizer(GRU4RecConfig(adapt="adagrad", learning_rate=0.1))
 
     class T:
         def __init__(self, rows, cols):
@@ -218,21 +219,35 @@ def test_kernel_version_auto_dispatch(monkeypatch):
             self.ndim = 2
             self.dtype = np.dtype(np.float32)
 
-    def ver(rows, cols, n_idx):
+    opt = make_optimizer(GRU4RecConfig(adapt="adagrad", learning_rate=0.1))
+
+    def ver(rows, cols, n_idx, opt=opt, state_key="acc"):
         t = T(rows, cols)
-        s = {"acc": t}
+        s = {state_key: t}
         return opt._kernel_version(t, s, n_idx=n_idx)
 
-    # 200k x 640 f32 = 512MB >= 64MB; K=2288 compact = 5.9MB <= 8MB -> v4
-    assert ver(200_064, 640, 2288) == "v4"
-    # compact buffer over budget -> v3 (same table)
+    # 200k x 640 f32 = 512MB >= 64MB -> v3 (v4 lost the hardware A/B at
+    # every >=64MB shape, so a fitting compact buffer no longer selects it)
+    assert ver(200_064, 640, 2288) == "v3"
     assert ver(200_064, 640, 4096) == "v3"
-    # no n_idx information -> conservative v3
     assert ver(200_064, 640, None) == "v3"
     # large rows but unaligned width -> v2
     assert ver(200_064, 130, 2288) == "v2"
     # small aligned table (< 64MB, < PALLAS_MIN_ROWS) -> XLA
     assert ver(16_384, 128, 2288) is None
+
+    # the one measured v4 win: adam + bfloat16_sr state, compact buffer
+    # within COMPACT_VMEM_BYTES (977 vs 1015 us at the Rees46 shape)
+    opt_sr = make_optimizer(GRU4RecConfig(
+        adapt="adam", learning_rate=0.1, opt_state_dtype="bfloat16_sr"))
+    assert ver(200_064, 640, 2288, opt=opt_sr, state_key="acc2") == "v4"
+    # ... but falls back to v3 when the compact buffer exceeds the budget
+    # (K=4096: (4096+16)*640*4 = 10.5MB > 8MB) or K is unknown
+    assert ver(200_064, 640, 4096, opt=opt_sr, state_key="acc2") == "v3"
+    assert ver(200_064, 640, None, opt=opt_sr, state_key="acc2") == "v3"
+    # adam WITHOUT SR keeps v3 even with a fitting compact buffer
+    opt_adam = make_optimizer(GRU4RecConfig(adapt="adam", learning_rate=0.1))
+    assert ver(200_064, 640, 2288, opt=opt_adam, state_key="acc2") == "v3"
 
 
 def test_fit_with_forced_pallas_matches_xla(monkeypatch):
