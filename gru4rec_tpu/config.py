@@ -88,14 +88,15 @@ class GRU4RecConfig:
     item_pad_multiple: int = 128  # pad item tables to a multiple of this many rows (MXU tiling)
     sampler: str = "alias"        # negative sampler: "alias" (O(1)/sample) or "searchsorted" (reference scheme)
     # Duplicate-row gradient reduction on the XLA sparse-update path:
-    # "sort" (default) = two-output sort + segment_sum (dedup_rows);
-    # "matmul" = MXU equality-matmul (ops/kernels/dedup_matmul.py) — the
-    # duplicate sum becomes one fused compare-matmul, targeting the
-    # sub-64MB shapes whose step time is dedup-dominated. Numerically
-    # identical up to f32 summation order. Opt-in pending the hardware A/B
-    # (PERF_NOTES.md round-4 checklist); the fused-kernel (>=64MB) path is
-    # unaffected either way.
-    dedup_impl: str = "sort"
+    # "matmul" (default) = MXU equality-matmul (ops/kernels/dedup_matmul.py)
+    # — the duplicate sum becomes one exact bf16-split matmul, measured
+    # 7-10% faster per step than the sort chain at the sub-64MB shapes
+    # (flagship/rsc15/coveo microbench, PERF_NOTES.md "matmul dedup"),
+    # auto-falling back to "sort" past the O(K^2 d) crossover
+    # (MATMUL_MAX_K2D); "sort" = two-output sort + segment_sum
+    # (dedup_rows). Numerically identical up to f32 summation order. The
+    # fused-kernel (>=64MB) path is unaffected either way.
+    dedup_impl: str = "matmul"
 
     def __post_init__(self) -> None:
         self.validate()

@@ -65,8 +65,11 @@ SENTINEL = jnp.iinfo(jnp.int32).max
 # wins every shape with K^2*d <= 1.2e9 (flagship 1.1e9: 189 vs 206 us;
 # coveo 1.2e9: 193 vs 224; rsc15 0.45e9: 131 vs 152) and loses every
 # shape above 2.1e9 (flagship@b512 2.1e9: 238 vs 218; yoochoose 2.2e9:
-# 296 vs 272; K=4224/d=513 9.2e9: 755 vs 478). Dispatch in
-# train/optimizers.py falls back to dedup_rows above this line.
+# 296 vs 272; K=4224/d=513 9.2e9: 755 vs 478). Re-confirmed on a second
+# hardware run before flipping the config default to "matmul" (flagship
+# 209 vs 224; rsc15 138 vs 153; coveo 195 vs 211; same losses above the
+# gate). Dispatch in train/optimizers.py falls back to dedup_rows above
+# this line.
 MATMUL_MAX_K2D = 1_500_000_000
 
 

@@ -38,6 +38,12 @@ def main(shape, adapt, force, trace_dir):
         "rees46": dict(n_items=200_000, layers=[512], batch_size=240,
                        loss="cross-entropy", final_act="softmax", momentum=0.0,
                        sample_alpha=0.5, logq=1.0),
+        "rsc15": dict(n_items=37_000, layers=[100], batch_size=32,
+                      loss="cross-entropy", final_act="softmax", momentum=0.2,
+                      sample_alpha=0.5, logq=1.0),
+        "retailrocket": dict(n_items=36_968, layers=[224], batch_size=80,
+                             loss="bpr-max", final_act="elu-0.5", momentum=0.4,
+                             sample_alpha=0.4, bpreg=1.95, logq=0.0),
     }
     sh = dict(shapes[shape])
     n_items = sh.pop("n_items")
