@@ -47,9 +47,13 @@ GOLDEN = {
              momentum=0.1, bpreg=1.0, adapt="adagrad",
              constrained_embedding=True, n_epochs=3, chunk_size=64,
              item_pad_multiple=32, seed=42),
-        [0.528206, 0.477302, 0.468427],
-        [0.754054, 0.770270, 0.808108, 0.840541],
-        [0.754054, 0.758378, 0.763302, 0.765407],
+        # regenerated for the dedup_impl="matmul" default (round 4): the
+        # MXU equality-matmul sums duplicate-row gradients in tree order
+        # instead of segment_sum's sequential order — same summand sets,
+        # different f32 association, diverging trajectory after many steps
+        [0.528231, 0.477287, 0.468438],
+        [0.754054, 0.770270, 0.805405, 0.843243],
+        [0.754054, 0.758378, 0.763032, 0.765511],
     ),
     "xe_logq": (
         dict(loss="cross-entropy", final_act="softmax", layers=[32],
@@ -61,9 +65,11 @@ GOLDEN = {
         # form cancels catastrophically for v2=0.999 at small t), (2) the
         # merged sparse-state layout stores meang in f32 (was bf16) — less
         # storage rounding, slightly different trajectory
-        [3.406355, 2.983539, 2.861586],
-        [0.583784, 0.727027, 0.797297, 0.848649],
-        [0.583784, 0.636757, 0.646554, 0.650149],
+        # ... and (3) regenerated for the dedup_impl="matmul" default
+        # (round 4, same reassociation note as flagship_bprmax above)
+        [3.408175, 2.924910, 2.902679],
+        [0.605405, 0.743243, 0.791892, 0.848649],
+        [0.605405, 0.655495, 0.662001, 0.665801],
     ),
     # a third loss family AND the stochastically-rounded bf16 state mode:
     # SR is deterministic given the keys (stateless dither), so its
