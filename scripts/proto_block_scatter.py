@@ -84,7 +84,6 @@ def step_block(table, acc, idx, g):
     # push them out of bounds so gather fills zeros and scatter drops them
     # (keeps gather/scatter indices unique, which duplicate dummies are not)
     real = jnp.arange(K, dtype=jnp.int32) < nreal[0]
-    safe = jnp.where(real, gblk, jnp.int32(n))  # n is OOB in group space? no:
     safe = jnp.where(real, gblk, jnp.int32(n // 8))  # first OOB group id
     t3 = table.reshape(n // 8, 8, d)
     a3 = acc.reshape(n // 8, 8, d)
