@@ -95,6 +95,9 @@ V3_MIN_TABLE_BYTES = 64 * 1024 * 1024
 # well past classic double-buffering: measured Rees46 full step at
 # D=4/6/8/12/16 = 777/688/625/583/578 us. VMEM cost is
 # streams x 2 x D x 8 x d x itemsize (~3MB worst case at d=640 adam).
+# Depth is exhausted as a knob: yoochoose (d=512) full step at
+# D=16/24/32 = 410.2/410.0/406.5 us (<1%) — the kernel sits at its
+# byte/issue floor, not a pipeline stall (round-4 sweep).
 V3_DEPTH = 16
 # v4 (compact gradients, in-kernel sublane alignment) keeps the whole
 # deduped gradient buffer (K+16, d) f32 VMEM-resident. Budget it to half
