@@ -260,9 +260,9 @@ def test_dedup_matmul_dispatch_k_gate(monkeypatch):
 
 @pytest.mark.parametrize("adapt,momentum", [("adagrad", 0.3), ("adam", 0.0)])
 def test_dedup_impl_matmul_full_chunk_parity(adapt, momentum):
-    """A whole training chunk under dedup_impl='matmul' must track the
-    default 'sort' path (same training dynamics, reassociation-only
-    noise)."""
+    """A whole training chunk under dedup_impl='matmul' (the default since
+    the round-4 hardware A/B) must track the 'sort' path (same training
+    dynamics, reassociation-only noise)."""
     from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
 
     import jax
@@ -306,3 +306,10 @@ def test_dedup_impl_matmul_full_chunk_parity(adapt, momentum):
 def test_dedup_impl_validation():
     with pytest.raises(NotImplementedError):
         GRU4RecConfig(dedup_impl="bogus")
+
+
+def test_dedup_impl_default_is_matmul():
+    """Pin the round-4 measured decision: the XLA-path dedup defaults to
+    the size-gated MXU equality-matmul (PERF_NOTES 'matmul dedup —
+    default flipped')."""
+    assert GRU4RecConfig().dedup_impl == "matmul"
