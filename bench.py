@@ -48,22 +48,71 @@ def synth_data(seed=0):
     )
 
 
-def main():
-    from gru4rec_tpu import GRU4Rec, GRU4RecConfig
-    from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+def _flagship_cfg():
+    from gru4rec_tpu import GRU4RecConfig
 
-    cache_dir = enable_persistent_compilation_cache()
-    print(f"persistent compile cache: {cache_dir}", file=sys.stderr)
-
-    data = synth_data()
-    cfg = GRU4RecConfig(
+    return GRU4RecConfig(
         loss="bpr-max", final_act="elu-0.5", hidden_act="tanh", layers=[224],
         batch_size=80, n_sample=2048, sample_alpha=0.4, bpreg=1.95,
         learning_rate=0.05, momentum=0.4, dropout_p_embed=0.0,
         dropout_p_hidden=0.0, constrained_embedding=True,
         n_epochs=1, chunk_size=512,
     )
-    model = GRU4Rec(cfg)
+
+
+def epoch1_child():
+    """Child mode (--epoch1): one fresh process runs epoch 1 and reports its
+    wall time. The parent invokes this twice — once inheriting the populated
+    persistent compile cache (warm) and once pointed at an empty cache dir
+    (cold) — so both startup stories are measured every round rather than
+    silently drifting when a dispatch default flips the program hash
+    (round-4 lesson: BENCH_r04 epoch 1 jumped 5 s -> 86 s unannounced)."""
+    import contextlib
+    import io
+
+    from gru4rec_tpu import GRU4Rec
+    from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    model = GRU4Rec(_flagship_cfg())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        model.fit(synth_data(), n_epochs=1)
+    print(buf.getvalue(), file=sys.stderr)
+    print(json.dumps({"epoch1_s": round(model.epoch_stats[0]["seconds"], 2)}))
+
+
+def measure_epoch1(extra_env):
+    """Run `bench.py --epoch1` in a subprocess; returns epoch-1 seconds or
+    None on failure (the headline metric must never die on this)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(extra_env)
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--epoch1"], env=env,
+            capture_output=True, text=True, timeout=1800, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["epoch1_s"]
+    except Exception as exc:  # noqa: BLE001 — report, don't fail the bench
+        print(f"epoch1 subprocess failed: {exc}", file=sys.stderr)
+        return None
+
+
+def main():
+    import os
+    import tempfile
+
+    from gru4rec_tpu import GRU4Rec
+    from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+    cache_dir = enable_persistent_compilation_cache()
+    print(f"persistent compile cache: {cache_dir}", file=sys.stderr)
+
+    data = synth_data()
+    model = GRU4Rec(_flagship_cfg())
 
     # epoch 1 = compile + warmup; epochs 2-4 are the measurement
     import contextlib
@@ -77,6 +126,16 @@ def main():
     warm = model.epoch_stats[1:]
     eps = sum(e["events"] for e in warm) / sum(e["seconds"] for e in warm)
 
+    # Cold/warm epoch-1 split in fresh subprocesses. Warm inherits the
+    # persistent cache (populated by the fit above even if a default flip
+    # just invalidated it); cold points at an empty cache dir and pays the
+    # full remote compile. Skippable for quick runs.
+    epoch1_warm = epoch1_cold = None
+    if not os.environ.get("GRU4REC_TPU_BENCH_SKIP_COLD"):
+        epoch1_warm = measure_epoch1({})
+        with tempfile.TemporaryDirectory(prefix="g4r_coldcache_") as td:
+            epoch1_cold = measure_epoch1({"JAX_COMPILATION_CACHE_DIR": td})
+
     print(json.dumps({
         "metric": "train_events_per_s_retailrocket_shape",
         "value": round(eps, 1),
@@ -88,8 +147,13 @@ def main():
         # here). Shape-matched synthetic data, parity batch/config.
         "baseline_hw": "NVIDIA A30 (reference README.md:153-163)",
         "bench_hw": __import__("jax").devices()[0].device_kind,
+        "epoch1_warm_s": epoch1_warm,
+        "epoch1_cold_s": epoch1_cold,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--epoch1" in sys.argv[1:]:
+        epoch1_child()
+    else:
+        main()

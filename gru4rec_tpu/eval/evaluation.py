@@ -702,6 +702,19 @@ def evaluate_sessions_batch(pr, test_data, items=None, cut_off=20, batch_size=10
     ``evaluate`` (host round-trip per step) but exercises the exact serving
     code path. Single cutoff only, like the reference."""
     print("Measuring Recall@{} and MRR@{}".format(cut_off, cut_off))
+    if items is not None:
+        # same semantics as the compiled evaluator, whose subset lookup
+        # (``itemidmap[items]``, evaluate() above) KeyErrors on items the
+        # model never saw — an out-of-vocab subset item used to be silently
+        # scored 0 here via fillna, ranking it instead of erroring
+        items_arr = np.asarray(items)
+        miss = ~np.isin(items_arr, pr.itemidmap.index.values)
+        if miss.any():
+            missing = pd.unique(items_arr[miss])
+            raise KeyError(
+                f"items subset contains IDs not in the training vocabulary: "
+                f"{list(missing[:5])}{'...' if len(missing) > 5 else ''}"
+            )
     test_data = pd.merge(
         test_data,
         pd.DataFrame({"ItemIdx": pr.itemidmap.values, item_key: pr.itemidmap.index}),
@@ -741,7 +754,6 @@ def evaluate_sessions_batch(pr, test_data, items=None, cut_off=20, batch_size=10
                 preds = pr.predict_next_batch(iters, in_ids, predict_for, batch_size)
             else:
                 preds = pr.predict_next_batch(iters, in_ids, None, batch_size)
-            preds = preds.fillna(0)
             in_ids[valid_mask] = out_ids
             scores = preds.values.T  # (batch, n_scored)
             if mode == "tiebreaking":

@@ -383,6 +383,7 @@ class GRU4Rec:
                     print(f"Epoch {epoch}: NaN error!")
                     logger.log("nan_abort", epoch=epoch, chunk=ci - 2)
                     self.error_during_train = True
+                    self._dump_nan_state(state, epoch, mesh, checkpoint_path)
                     return self
             total_events = float(jnp.sum(jnp.stack(ev_parts))) if ev_parts else 0.0
             total_loss = float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0
@@ -393,6 +394,7 @@ class GRU4Rec:
                 print(f"Epoch {epoch}: NaN error!")
                 logger.log("nan_abort", epoch=epoch)
                 self.error_during_train = True
+                self._dump_nan_state(state, epoch, mesh, checkpoint_path)
                 return self
             dt = time.time() - t0
             self.epoch_stats.append(
@@ -502,6 +504,41 @@ class GRU4Rec:
         self.params = state.params
         self.H = state.H
         return self
+
+    # ------------------------------------------------------------------ #
+    def _dump_nan_state(self, state, epoch, mesh, checkpoint_path) -> None:
+        """Best-effort diagnostic dump on NaN abort (SURVEY.md §5 "NaN abort
+        with state dump"; the reference only sets a flag, gru4rec.py:626-629).
+
+        Writes a full training checkpoint of the live state so divergence is
+        debuggable offline. The chunk pipeline keeps two dispatches in
+        flight and DONATES state buffers, so by detection time the dumped
+        state is up to two chunks past the first NaN — diverged, but it
+        carries the exact params/optimizer accumulators/RNG to replay from.
+        Never masks the abort: any failure here is caught and reported.
+
+        Path: ``<checkpoint_path>.nan.npz`` when checkpointing is
+        configured, else ``$GRU4REC_TPU_NAN_DUMP`` (set to empty to
+        disable), else ``gru4rec_nan_dump.npz`` in the working directory
+        (``.npz`` suffix required — np.savez appends it otherwise)."""
+        path = (f"{checkpoint_path}.nan.npz" if checkpoint_path
+                else os.environ.get("GRU4REC_TPU_NAN_DUMP",
+                                    "gru4rec_nan_dump.npz"))
+        if not path:
+            return
+        try:
+            if mesh is not None:
+                from gru4rec_tpu.parallel.dist_step import unshard_train_state
+
+                state = unshard_train_state(state, cfg=self.config, mesh=mesh)
+            from gru4rec_tpu.io.checkpoint import (_is_primary_process,
+                                                   save_train_checkpoint)
+
+            save_train_checkpoint(self, state, epoch, path)
+            if _is_primary_process():
+                print(f"NaN abort: diverged training state dumped to {path}")
+        except Exception as e:  # noqa: BLE001 — diagnostic only
+            print(f"NaN abort: state dump failed ({e!r})")
 
     # ------------------------------------------------------------------ #
     def _extend_items(self, unseen_ids) -> None:

@@ -4,17 +4,22 @@ The reference reports "Evaluation took 4.34s" for RetailRocket at batch 512,
 cutoffs [1, 5, 10, 20], standard tie mode, on an NVIDIA A30
 (/root/reference/README.md:166-173). The real test set cannot be downloaded
 here (zero egress), so this measures the same protocol on a synthetic test
-set matched to RetailRocket's published shape (36,968-item catalog; the
-test split of the benchmark setup is one day of events, tens of thousands;
-we synthesize N_TEST_EVENTS and additionally report normalized events/s,
-which is shape- not content-bound).
+set matched to the published catalog shapes.
+
+Shape tags (catalog size x hidden width — the two axes that set eval cost;
+full-catalog scoring is an (events x h) @ (h x n_items) matmul + rank
+reduction):
+
+  retailrocket  36,968 items, GRU-224 (the reference's published timing row)
+  rees46        200,000 items, GRU-512 (SURVEY §7 "full-catalog scoring
+                memory" hard part: the biggest published catalog)
 
 Timing methodology (PERF_NOTES.md / memory): evaluate() ends with host
 reductions of the accumulated sums, which forces a real device sync — wall
 time around the call is valid. First call pays compile; report the warm
 repeats. Emits one JSON line per run.
 
-Usage: python scripts/measure_eval.py [n_test_events]
+Usage: python scripts/measure_eval.py [tag ...] [n_test_events]
 """
 
 import json
@@ -33,11 +38,17 @@ enable_persistent_compilation_cache()
 from gru4rec_tpu import GRU4Rec, GRU4RecConfig
 from gru4rec_tpu.eval import evaluate
 
-N_ITEMS = 36_968
 N_TEST_EVENTS = 60_000  # reference test split is one day (~tens of k events)
 MEAN_SESSION_LEN = 5.5
 CUTOFFS = [1, 5, 10, 20]
 BATCH = 512
+
+SHAPES = {
+    "retailrocket": dict(n_items=36_968, layers=[224], loss="bpr-max",
+                         final_act="elu-0.5"),
+    "rees46": dict(n_items=200_000, layers=[512], loss="cross-entropy",
+                   final_act="softmax"),
+}
 
 
 def synth_sessions(n_events, n_items, seed):
@@ -54,27 +65,28 @@ def synth_sessions(n_events, n_items, seed):
                          "Time": np.arange(total, dtype=np.int64)})
 
 
-def main():
-    n_test = int(sys.argv[1]) if len(sys.argv) > 1 else N_TEST_EVENTS
+def run(tag, n_test):
+    sh = SHAPES[tag]
+    n_items = sh["n_items"]
     cfg = GRU4RecConfig(
-        loss="bpr-max", final_act="elu-0.5", layers=[224], batch_size=80,
-        n_sample=2048, sample_alpha=0.4, bpreg=1.95, learning_rate=0.05,
-        momentum=0.4, dropout_p_embed=0.0, dropout_p_hidden=0.0,
+        loss=sh["loss"], final_act=sh["final_act"], layers=sh["layers"],
+        batch_size=80, n_sample=2048, sample_alpha=0.4,
+        learning_rate=0.05, dropout_p_embed=0.0, dropout_p_hidden=0.0,
         constrained_embedding=True, n_epochs=1, chunk_size=64,
     )
     model = GRU4Rec(cfg)
     # tiny fit: builds itemidmap/params over the full catalog (eval cost does
     # not depend on training quality)
-    train = synth_sessions(120_000, N_ITEMS, seed=0)
+    train = synth_sessions(120_000, n_items, seed=0)
     # make sure every item appears at least once so the catalog is full-size
     extra = pd.DataFrame({
-        "SessionId": np.arange(N_ITEMS) // 4 + train["SessionId"].max() + 1,
-        "ItemId": np.arange(N_ITEMS),
-        "Time": np.arange(N_ITEMS) + len(train),
+        "SessionId": np.arange(n_items) // 4 + train["SessionId"].max() + 1,
+        "ItemId": np.arange(n_items),
+        "Time": np.arange(n_items) + len(train),
     })
     model.fit(pd.concat([train, extra], ignore_index=True))
 
-    test = synth_sessions(n_test, N_ITEMS, seed=1)
+    test = synth_sessions(n_test, n_items, seed=1)
     n_events_effective = len(test) - test["SessionId"].nunique()
 
     evaluate(model, test, cut_off=CUTOFFS, batch_size=BATCH)  # compile
@@ -85,7 +97,8 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     print(json.dumps({
-        "metric": "eval_seconds_retailrocket_shape",
+        "metric": f"eval_seconds_{tag}_shape",
+        "n_items": n_items, "hidden": sh["layers"][0],
         "n_test_events": int(len(test)),
         "scored_events": int(n_events_effective),
         "batch_size": BATCH, "cutoffs": CUTOFFS,
@@ -93,6 +106,19 @@ def main():
         "events_per_s": round(n_events_effective / best, 0),
         "all_runs_s": [round(t, 3) for t in times],
     }), flush=True)
+
+
+def main():
+    args = sys.argv[1:]
+    n_test = N_TEST_EVENTS
+    tags = []
+    for a in args:
+        if a.isdigit():
+            n_test = int(a)
+        else:
+            tags.append(a)
+    for tag in tags or ["retailrocket"]:
+        run(tag, n_test)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,208 @@
+"""HBM budget table + OOM-boundary probe for the opt_state_dtype claim.
+
+After round 4 refuted SR-for-speed (adam −22%), `bfloat16_sr`'s entire
+value proposition is MEMORY: narrowing the freeze-prone state slots
+(adagrad's accumulator, adam's 0.999-EMA second moment) from f32 to bf16
+halves their HBM bytes and should raise the largest catalog that trains on
+one 16 GB chip (README "opt-in lever"; config.py opt_state_dtype). This
+script pins that claim with numbers:
+
+  table    — per-shape byte budget of params + optimizer state (+ fixed
+             per-run buffers) for f32 / bfloat16 / bfloat16_sr at GRU-512,
+             adagrad and adam. Derived from the REAL initialized pytree at
+             two small catalogs (per-item bytes = exact slope; the layout
+             is linear in n_items by construction) — not hand-computed.
+  try N A D — probe mode (subprocess): init a train state for n_items=N,
+             adapt=A, opt_state_dtype=D at GRU-512 and run one real chunk;
+             prints ok/oom. Run on the TPU.
+  boundary — driver: walks a multiplicative ladder of n_items per
+             (adapt, opt_state_dtype) combo, spawning `try` subprocesses
+             (isolated: an OOM'd process can leave the client wedged), and
+             reports the largest passing / smallest failing catalog.
+
+Usage:
+  python scripts/measure_hbm_budget.py table
+  python scripts/measure_hbm_budget.py boundary [adagrad|adam ...]
+  python scripts/measure_hbm_budget.py try 2000000 adam bfloat16_sr
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+if len(sys.argv) > 1 and sys.argv[1] in ("table", "boundary"):
+    # these modes only inspect host pytrees / drive subprocesses — never
+    # allocate the multi-GB states on the accelerator (or pay the tunnel).
+    # The axon plugin is force-registered by sitecustomize BEFORE this line,
+    # so the env var alone is ignored — pin the platform via jax.config.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+HIDDEN = 512
+BATCH = 240          # the rees46 published batch
+N_SAMPLE = 2048
+CHUNK = 64
+
+
+def make_cfg(n_items, adapt, osd):
+    from gru4rec_tpu.config import GRU4RecConfig
+
+    return GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[HIDDEN],
+        batch_size=BATCH, n_sample=N_SAMPLE, sample_alpha=0.5, logq=1.0,
+        learning_rate=0.05, adapt=adapt, constrained_embedding=True,
+        chunk_size=CHUNK, opt_state_dtype=osd,
+        dropout_p_embed=0.0, dropout_p_hidden=0.0,
+    )
+
+
+def state_bytes(n_items, adapt, osd):
+    """Exact bytes of params + optimizer state at this catalog size, from a
+    really-initialized pytree (host-side; no device involved)."""
+    import jax
+
+    from gru4rec_tpu.train.step import init_train_state
+
+    st = init_train_state(make_cfg(n_items, adapt, osd), n_items,
+                         jax.random.PRNGKey(0))
+    p = sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(st.params))
+    o = sum(np.asarray(l).nbytes
+            for l in jax.tree_util.tree_leaves(st.opt_state))
+    return p, o
+
+
+def table():
+    """Per-item slopes measured between two real catalogs, then projected.
+    Fixed-cost buffers (alias table 16 B/item, logp0 4 B/item, activations,
+    schedule stacks <=1 GB by budget) are listed separately."""
+    A, B = 128_000, 256_000
+    rows = []
+    for adapt in ("adagrad", "adam"):
+        for osd in ("float32", "bfloat16", "bfloat16_sr"):
+            pA, oA = state_bytes(A, adapt, osd)
+            pB, oB = state_bytes(B, adapt, osd)
+            p_slope = (pB - pA) / (B - A)     # bytes/item: params
+            o_slope = (oB - oA) / (B - A)     # bytes/item: optimizer state
+            p_fixed = pA - p_slope * A
+            o_fixed = oA - o_slope * A
+            # +20 B/item: alias table (16) + logp0 (4); model/opt dominate
+            per_item = p_slope + o_slope + 20.0
+            fixed = p_fixed + o_fixed
+            rows.append({
+                "adapt": adapt, "opt_state_dtype": osd,
+                "param_bytes_per_item": round(p_slope, 1),
+                "opt_bytes_per_item": round(o_slope, 1),
+                "total_bytes_per_item": round(per_item, 1),
+                "fixed_mb": round(fixed / 2**20, 1),
+                "rees46_200k_gb": round((per_item * 200_000 + fixed) / 2**30, 3),
+                # naive ceiling at 16 GB minus ~1.5 GB for activations,
+                # samples, schedule, and allocator slack — the `boundary`
+                # probe measures the real one
+                "predicted_max_items_16gb": int(
+                    (14.5 * 2**30 - fixed) / per_item),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def try_one(n_items, adapt, osd):
+    """Probe: init + one real chunk on the device. Exit 0 prints ok/oom."""
+    from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from gru4rec_tpu.models import gru
+    from gru4rec_tpu.ops.sampling import build_alias_table
+    from gru4rec_tpu.train.step import init_train_state, make_chunk_fn
+
+    cfg = make_cfg(n_items, adapt, osd)
+    rng = np.random.RandomState(0)
+    ranks = np.arange(1, n_items + 1, dtype=np.float64)
+    p = 1.0 / ranks ** 0.8
+    pop = np.maximum((p / p.sum() * 5_000_000).astype(np.int64), 1)
+    n_pad = gru.pad_items(n_items, cfg.item_pad_multiple)
+    logp0 = np.zeros(n_pad, np.float32)
+    logp0[:n_items] = np.log(pop.astype(np.float64))
+    try:
+        samp1 = build_alias_table(pop, cfg.sample_alpha).packed
+        logp0_j = jnp.asarray(logp0)
+        args = tuple(jnp.asarray(a) for a in (
+            rng.randint(0, n_items, (CHUNK, BATCH)).astype(np.int32),
+            rng.randint(0, n_items, (CHUNK, BATCH)).astype(np.int32),
+            np.ones((CHUNK, BATCH), bool),
+            rng.rand(CHUNK, BATCH) < 0.18,
+        ))
+        state = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
+        fn = make_chunk_fn(cfg, n_items)
+        state, ls, ec = fn(state, *args, samp1, logp0_j)
+        ok = bool(np.isfinite(float(ls)))
+        print(json.dumps({"result": "ok" if ok else "nonfinite",
+                          "n_items": n_items, "adapt": adapt,
+                          "opt_state_dtype": osd}), flush=True)
+    except Exception as e:
+        msg = str(e)
+        oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower() \
+            or "out of memory" in msg
+        print(json.dumps({"result": "oom" if oom else "error",
+                          "n_items": n_items, "adapt": adapt,
+                          "opt_state_dtype": osd,
+                          "detail": msg[:200]}), flush=True)
+
+
+def probe(n_items, adapt, osd):
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    out = subprocess.run(
+        [sys.executable, __file__, "try", str(n_items), adapt, osd],
+        capture_output=True, text=True, timeout=1200, env=env,
+    ).stdout.strip().splitlines()
+    res = json.loads(out[-1]) if out else {"result": "crash"}
+    print(json.dumps(res), flush=True)
+    return res.get("result") == "ok"
+
+
+def boundary(adapts):
+    """Walk n_items up a x1.25 ladder from 80% of the analytic prediction
+    until the probe OOMs; report the measured bracket per combo."""
+    for adapt in adapts:
+        for osd in ("bfloat16", "bfloat16_sr"):
+            pA, oA = state_bytes(128_000, adapt, osd)
+            pB, oB = state_bytes(256_000, adapt, osd)
+            per_item = (pB - pA + oB - oA) / 128_000 + 20.0
+            n = int((14.5 * 2**30) / per_item * 0.8)
+            n -= n % 128
+            last_ok, first_bad = None, None
+            while first_bad is None:
+                if probe(n, adapt, osd):
+                    last_ok = n
+                    n = int(n * 1.25)
+                    n -= n % 128
+                else:
+                    first_bad = n
+            print(json.dumps({
+                "metric": "oom_boundary", "adapt": adapt,
+                "opt_state_dtype": osd, "hidden": HIDDEN, "batch": BATCH,
+                "largest_ok_n_items": last_ok,
+                "smallest_oom_n_items": first_bad,
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "table"
+    if mode == "table":
+        table()
+    elif mode == "try":
+        try_one(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif mode == "boundary":
+        adapts = sys.argv[2:] or ["adagrad", "adam"]
+        boundary(adapts)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")

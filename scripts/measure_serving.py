@@ -153,7 +153,7 @@ def main():
     m = build_model()
     for batch in (1, 32, 256):
         measure_topk(m, batch, reps)
-    for batch in (1, 256):
+    for batch in (1, 64, 256):
         measure_topk_device(m, batch, reps)
     measure_next_batch(m, 512, max(5, reps // 10))
 

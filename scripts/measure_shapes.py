@@ -53,6 +53,19 @@ SHAPES = {
                   sample_alpha=0.5, logq=1.0),
 }
 
+# Stacked-GRU variants: the reference's headline charts are layer-count
+# scaling (reference README.md:281-282, img/training_time_*_layers.png;
+# `layers=200/200` style configs). Each extra layer adds a dense
+# (h x 3h + h x 2h + h x h) matmul chain inside the scan plus its dense
+# optimizer traffic — this sweep pins whether the scan/kernel architecture
+# holds its single-layer multiples there.
+for _base, _nl in [("retailrocket", 2), ("retailrocket", 3),
+                   ("rees46", 2), ("rees46", 3),
+                   ("yoochoose", 2)]:
+    _sh = dict(SHAPES[_base])
+    _sh["layers"] = _sh["layers"] * _nl
+    SHAPES[f"{_base}_{_nl}l"] = _sh
+
 
 def run(shape_name, adapt="adagrad", force_pallas=None,
         opt_state_dtype="bfloat16", force_version=None, dedup_impl="sort"):
@@ -175,6 +188,27 @@ RUNS_DEDUP = [
     ("retailrocket", "adam", None, None, None, "matmul"),
 ]
 
+# Layer-count scaling sweep: each 2l/3l row paired with its same-session 1l
+# twin so the vs-single-layer ratio is measured, not spliced across sessions.
+RUNS_LAYERS = [
+    ("retailrocket", "adagrad", None),
+    ("retailrocket_2l", "adagrad", None),
+    ("retailrocket_3l", "adagrad", None),
+    ("rees46", "adagrad", None),
+    ("rees46_2l", "adagrad", None),
+    ("rees46_3l", "adagrad", None),
+    ("rees46", "adam", True),
+    ("rees46_2l", "adam", True),
+    ("yoochoose", "adagrad", None),
+    ("yoochoose_2l", "adagrad", None),
+    # kernel-regime A/B at the stacked shapes: does the dispatch default
+    # (byte-budget driven, layer-blind) still pick the winner?
+    ("rees46_2l", "adagrad", True),
+    ("rees46_2l", "adagrad", False),
+    ("retailrocket_2l", "adagrad", True),
+    ("retailrocket_2l", "adagrad", False),
+]
+
 if __name__ == "__main__":
     tags = sys.argv[1:]
     runs = [r + (None, None, "sort") for r in RUNS]
@@ -184,6 +218,10 @@ if __name__ == "__main__":
         runs, tags = [r + ("sort",) for r in RUNS_SR], tags[1:]
     elif tags and tags[0] == "dedup":
         runs, tags = RUNS_DEDUP, tags[1:]
+    elif tags and tags[0] == "layers":
+        # production dedup default (size-gated matmul), unlike the historical
+        # sweeps above which pre-date the round-4 default flip
+        runs, tags = [r + (None, None, "matmul") for r in RUNS_LAYERS], tags[1:]
     for shape, adapt, force, ver, osd, dd in runs:
         if tags and shape not in tags:
             continue

@@ -1,0 +1,156 @@
+"""Isolate the group_pack XLA staging cost that feeds the v3 kernel.
+
+Round-4 close-out left one residual unmeasured at the yoochoose shape
+(VERDICT r4 "What's weak" #1): the v3 kernel consumes staged inputs built
+by `group_pack` — a (K,2)-key `lax.sort`, a (K, d) gather of the gradients
+into sorted order, and a packing scatter-ADD into the (8K, d) `gpad`
+buffer. Folding that staging INTO the kernel is the last named idea for
+the yoochoose row; this measures its ceiling:
+
+  sort         lax.sort + sorted-order gather only
+  pack         full group_pack (sort + bookkeeping + packing scatter)
+  pack+kernel  group_pack + fused_update_v3 (adagrad) — the production
+               update path end to end
+  kernel       fused_update_v3 alone on prestaged inputs
+
+`pack` is the UPPER BOUND on what any fold-into-kernel scheme can save
+(it could never remove the sort's work, only its HBM round trips), and
+v4 — which folded the biggest staging term, the gpad round trip — measured
+46% SLOWER at this shape (PERF_NOTES "v4 A/B"), bounding the fold from
+the other side.
+
+Usage: python scripts/proto_staging_cost.py [shape ...]   (on the TPU)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
+from gru4rec_tpu.ops.kernels.sparse_update import fused_update_v3, group_pack
+
+LR = 0.05
+
+# (n_rows, d, K, pool_n) — pool sizes mimic pop^alpha distinct-row counts
+# (same conventions as proto_v3_kernel.py)
+SHAPES = {
+    "yoochoose": (37_120, 481, 2144, 1700),
+    "rees46": (200_064, 513, 2528, 1500),
+}
+
+
+def staged(idx, g, n_rows):
+    return group_pack(idx, g, n_rows, return_nreal=True)
+
+
+def measure(shape_name, reps=6, steps=32):
+    n_rows, d, K, pool_n = SHAPES[shape_name]
+    rng = np.random.RandomState(0)
+    pool = rng.choice(n_rows, pool_n, replace=False)
+    idx = jnp.asarray(pool[rng.randint(0, pool_n, (steps, K))].astype(np.int32))
+    g = jnp.asarray((rng.randn(steps, K, d) * 0.01).astype(np.float32))
+    table = jnp.asarray(rng.randn(n_rows, d).astype(np.float32))
+    acc = jnp.full((n_rows, d), 0.1, jnp.float32)
+
+    def time_scan(jitted, *args):
+        float(np.asarray(jitted(*args)).ravel()[0])  # compile+warm
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = jitted(*args)
+        float(np.asarray(out).ravel()[0])
+        return (time.time() - t0) / (reps * steps) * 1e6
+
+    @jax.jit
+    def run_sort(carry, idx_c, g_c):
+        def body(c, xs):
+            i, gg = xs
+            sidx, order = jax.lax.sort(
+                (i, jnp.arange(K, dtype=jnp.int32)), num_keys=1)
+            sg = jnp.take(gg + c * 0, order, axis=0)
+            return sg[0, 0] + sidx[0].astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, carry, (idx_c, g_c))
+        return c
+
+    @jax.jit
+    def run_pack(carry, idx_c, g_c):
+        def body(c, xs):
+            i, gg = xs
+            gblk, mask, gpad, nreal = staged(i, gg + c * 0, n_rows)
+            # consume every output so none of the staging is DCE'd away
+            return (gpad[0, 0] + (gblk[0] + mask[0]).astype(jnp.float32)
+                    + nreal[0].astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, carry, (idx_c, g_c))
+        return c
+
+    @jax.jit
+    def run_pack_kernel(table, acc, idx_c, g_c):
+        def body(carry, xs):
+            tab, ac = carry
+            i, gg = xs
+            gblk, mask, gpad, nreal = staged(i, gg, n_rows)
+            tab, ac, _ = fused_update_v3(
+                "adagrad", tab, ac, None, gblk, mask, nreal, gpad,
+                lr=LR, momentum=0.0, lmbd=0.0, v1=0.0, v2=0.0)
+            return (tab, ac), None
+        (tab, ac), _ = jax.lax.scan(body, (table, acc), (idx_c, g_c))
+        return tab[0, 0]
+
+    us_sort = time_scan(run_sort, jnp.float32(0.0), idx, g)
+    us_pack = time_scan(run_pack, jnp.float32(0.0), idx, g)
+    us_full = time_scan(run_pack_kernel, table, acc, idx, g)
+
+    # kernel-only on prestaged inputs (fewer steps: gpad is (8K, d) each)
+    ksteps = 8
+    st = [staged(idx[i], g[i], n_rows) for i in range(ksteps)]
+    gblk_s = jnp.stack([s[0] for s in st])
+    mask_s = jnp.stack([s[1] for s in st])
+    gpad_s = jnp.stack([s[2] for s in st])
+    nreal_s = jnp.stack([s[3] for s in st])
+
+    @jax.jit
+    def run_kernel(table, acc, gblk_s, mask_s, gpad_s, nreal_s):
+        def body(carry, xs):
+            tab, ac = carry
+            gblk, mask, gpad, nreal = xs
+            tab, ac, _ = fused_update_v3(
+                "adagrad", tab, ac, None, gblk, mask, nreal, gpad,
+                lr=LR, momentum=0.0, lmbd=0.0, v1=0.0, v2=0.0)
+            return (tab, ac), None
+        (tab, ac), _ = jax.lax.scan(
+            body, (table, acc), (gblk_s, mask_s, gpad_s, nreal_s))
+        return tab[0, 0]
+
+    def time_kernel():
+        float(run_kernel(table, acc, gblk_s, mask_s, gpad_s, nreal_s))
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = run_kernel(table, acc, gblk_s, mask_s, gpad_s, nreal_s)
+        float(out)
+        return (time.time() - t0) / (reps * ksteps) * 1e6
+
+    us_kernel = time_kernel()
+    print(json.dumps({
+        "shape": shape_name, "d": d, "K": K,
+        "sort_us": round(us_sort, 1),
+        "pack_us": round(us_pack, 1),
+        "kernel_us": round(us_kernel, 1),
+        "pack_plus_kernel_us": round(us_full, 1),
+        "staging_share_of_update": round(us_pack / us_full, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    for s in (sys.argv[1:] or ["yoochoose", "rees46"]):
+        measure(s)

@@ -23,6 +23,11 @@ os.environ.setdefault(
     os.path.join(tempfile.gettempdir(), "gru4rec_tpu_jax_cache"),
 )
 
+# The NaN-abort diagnostic dump defaults to ./gru4rec_nan_dump.npz; the
+# deliberately-diverging tests would litter the repo root with it. Tests
+# that assert the dump use checkpoint_path (which overrides this).
+os.environ.setdefault("GRU4REC_TPU_NAN_DUMP", "")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",

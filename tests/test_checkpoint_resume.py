@@ -221,6 +221,27 @@ def test_legacy_evaluator_subset_conservative_finite():
         assert abs(m_leg - m_cmp[0]) < 1e-6, mode
 
 
+def test_evaluators_agree_on_out_of_vocab_subset():
+    """Both evaluators must REJECT an items subset containing IDs the model
+    never saw (round-4 review: the legacy path's fillna(0) silently ranked
+    unknown items at score 0 while the compiled path KeyErrors)."""
+    data = markov_data(n_items=20)
+    m = GRU4Rec(small_cfg(n_epochs=1))
+    m.fit(data)
+    test = markov_data(n_sessions=20, n_items=20, seed=7)
+    items = list(m.itemidmap.index[:4]) + ["item_never_seen"]
+    with pytest.raises(KeyError):
+        evaluate(m, test, items=items, cut_off=[5], batch_size=8)
+    with pytest.raises(KeyError):
+        evaluate_sessions_batch(m, test, items=items, cut_off=5, batch_size=8)
+    # in-vocab subsets still work on both paths
+    ok_items = list(m.itemidmap.index[:5])
+    r_leg, _ = evaluate_sessions_batch(m, test, items=ok_items, cut_off=5,
+                                       batch_size=8)
+    r_cmp, _ = evaluate(m, test, items=ok_items, cut_off=[5], batch_size=8)
+    assert abs(r_leg - r_cmp[0]) < 1e-6
+
+
 def test_paropt_metric_scrape_accepts_all_float_reprs():
     from gru4rec_tpu.cli.paropt import scrape_primary_metric
 

@@ -2,6 +2,8 @@
 popularity baseline by a wide margin, round-trip through checkpoints, and
 serve predictions consistent with training."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -104,6 +106,32 @@ def test_nan_abort_sets_error_flag():
     if m.error_during_train:
         with pytest.raises(Exception):
             evaluate(m, data, cut_off=[5], batch_size=8)
+
+
+def test_nan_abort_dumps_state(tmp_path):
+    """On NaN abort fit() writes a best-effort training-state dump next to
+    the configured checkpoint path (SURVEY.md §5 "NaN abort with state
+    dump") — the file must exist and load as a full training checkpoint."""
+    from gru4rec_tpu.io.checkpoint import load_train_checkpoint
+
+    data = markov_data(n_sessions=300)
+    cfg = GRU4RecConfig(
+        loss="cross-entropy", final_act="softmax", layers=[16], batch_size=8,
+        n_sample=8, learning_rate=float("nan"), n_epochs=1, chunk_size=8,
+        item_pad_multiple=32,
+    )
+    m = GRU4Rec(cfg)
+    ckpt = str(tmp_path / "run.npz")
+    m.fit(data, checkpoint_every=1, checkpoint_path=ckpt)
+    assert m.error_during_train
+    dump = ckpt + ".nan.npz"
+    assert os.path.exists(dump), "NaN abort did not write the state dump"
+    m2 = GRU4Rec(GRU4RecConfig())
+    state, epoch = load_train_checkpoint(dump, m2)
+    assert epoch == 0  # diverged in the first epoch
+    # the dump carries the diverged-but-diagnosable parameters: NaNs and all
+    assert np.isnan(np.asarray(state.params["Wy"])).any()
+    assert m2.n_items == m.n_items
 
 
 def test_validation_early_stopping_and_keep_best():
