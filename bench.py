@@ -131,8 +131,16 @@ def main():
     # just invalidated it); cold points at an empty cache dir and pays the
     # full remote compile. Skippable for quick runs.
     epoch1_warm = epoch1_cold = None
+    epoch1_warm_runs = []
     if not os.environ.get("GRU4REC_TPU_BENCH_SKIP_COLD"):
-        epoch1_warm = measure_epoch1({})
+        # Two warm attempts, min reported: the tunneled backend exhibits
+        # sporadic multi-minute per-RPC server stalls (round-5 measurement:
+        # identical runs spanned 4.6-479 s; compiles and transfers are
+        # sub-second when not stalled), so a single draw can be pure
+        # infrastructure noise. The raw draws ship alongside the min.
+        epoch1_warm_runs = [r for r in (measure_epoch1({}),
+                                        measure_epoch1({})) if r is not None]
+        epoch1_warm = min(epoch1_warm_runs, default=None)
         with tempfile.TemporaryDirectory(prefix="g4r_coldcache_") as td:
             epoch1_cold = measure_epoch1({"JAX_COMPILATION_CACHE_DIR": td})
 
@@ -148,6 +156,7 @@ def main():
         "baseline_hw": "NVIDIA A30 (reference README.md:153-163)",
         "bench_hw": __import__("jax").devices()[0].device_kind,
         "epoch1_warm_s": epoch1_warm,
+        "epoch1_warm_runs_s": epoch1_warm_runs,
         "epoch1_cold_s": epoch1_cold,
     }))
 

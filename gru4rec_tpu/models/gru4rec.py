@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -68,19 +69,39 @@ _SCHEDULE_DEVICE_BYTE_BUDGET = int(os.environ.get(
     "GRU4REC_TPU_SCHEDULE_DEVICE_BYTES", 1 << 30))
 
 
-def _upload_stacks(stacks, mesh):
+def _encode_stacks(stacks, n_items):
+    """Wire-format the epoch schedule for the host->device upload: item
+    indices as uint16 when the catalog fits (all published shapes except
+    Rees46), valid/reset bit-packed 8 lanes/byte. 75 MB -> 34 MB at the
+    flagship shape — epoch 1 through a tunneled device is BANDWIDTH-bound
+    on this transfer (round-5 measurement: 9.5-479 s for the same program
+    as tunnel throughput swung 0.15-8 MB/s; compiles were sub-second), so
+    bytes on the wire are the cost. Decoded on device per chunk
+    (_slice_chunk_packed); schedule VALUES are unchanged."""
+    in_s, out_s, valid_s, reset_s = stacks
+    idt = np.uint16 if n_items <= np.iinfo(np.uint16).max else np.int32
+    return (in_s.astype(idt), out_s.astype(idt),
+            np.packbits(valid_s, axis=-1), np.packbits(reset_s, axis=-1))
+
+
+def _upload_stacks(stacks, mesh, n_items=None):
     if stacks is None:  # empty epoch (zero-step schedule)
         return None
     if sum(s.nbytes for s in stacks) > _SCHEDULE_DEVICE_BYTE_BUDGET:
         return stacks  # host fallback; _get_chunk slices numpy per chunk
     if mesh is None:
-        return tuple(jnp.asarray(s) for s in stacks)
+        B = stacks[0].shape[-1]
+        enc = _encode_stacks(stacks, n_items if n_items is not None else 1 << 31)
+        return ("packed", tuple(jnp.asarray(s) for s in enc), B)
     from jax.sharding import NamedSharding, PartitionSpec
 
     from gru4rec_tpu.parallel.mesh import put_global
 
     # lanes (B, last dim) ride the data axis, matching the dist chunk_fn's
-    # P(None, "data") schedule specs so the per-chunk slices need no reshard
+    # P(None, "data") schedule specs so the per-chunk slices need no reshard.
+    # The packed wire format is single-chip only: packing 8 lanes/byte would
+    # couple the data-axis sharding to B/8 divisibility, and multi-chip
+    # links are not the tunnel-bandwidth regime the packing targets.
     shard = NamedSharding(mesh, PartitionSpec(None, None, "data"))
     return tuple(put_global(s, shard) for s in stacks)
 
@@ -94,7 +115,23 @@ def _slice_chunk(stacks, ci):
     return tuple(s[ci] for s in stacks)
 
 
+@partial(jax.jit, static_argnames=("B",))
+def _slice_chunk_packed(stacks, ci, B):
+    """Slice + decode chunk ``ci`` of the packed wire format (see
+    _encode_stacks): widen items to int32, unpack the lane bitmaps."""
+    in_c = stacks[0][ci].astype(jnp.int32)
+    out_c = stacks[1][ci].astype(jnp.int32)
+
+    def unpack(p):
+        bits = (p[..., :, None] >> (7 - jnp.arange(8, dtype=jnp.uint8))) & 1
+        return bits.reshape(p.shape[:-1] + (-1,))[..., :B].astype(bool)
+
+    return in_c, out_c, unpack(stacks[2][ci]), unpack(stacks[3][ci])
+
+
 def _get_chunk(stacks, ci):
+    if isinstance(stacks[0], str):  # ("packed", enc, B) wire format
+        return _slice_chunk_packed(stacks[1], np.int32(ci), B=stacks[2])
     if isinstance(stacks[0], np.ndarray):  # over-budget host fallback
         return tuple(s[ci] for s in stacks)
     return _slice_chunk(stacks, np.int32(ci))
@@ -348,7 +385,7 @@ class GRU4Rec:
                 # schedule byte budget on device
                 stacks = None
                 stacks, ends = _stack_chunks(_chunk_schedule(sched, C))
-                stacks = _upload_stacks(stacks, mesh)
+                stacks = _upload_stacks(stacks, mesh, self.n_items)
             else:
                 # deterministic session order => the schedule is identical
                 # every epoch; build, stack, and upload once (the reference
@@ -362,7 +399,7 @@ class GRU4Rec:
                         require_two_lanes=(cfg.n_sample == 0),
                     )
                     cs, ce = _stack_chunks(_chunk_schedule(sched, C))
-                    cached_chunks = (_upload_stacks(cs, mesh), ce)
+                    cached_chunks = (_upload_stacks(cs, mesh, self.n_items), ce)
                 stacks, ends = cached_chunks
             T = ends[-1] if ends else 0
             loss_parts, ev_parts = [], []
