@@ -41,11 +41,12 @@ from gru4rec_tpu.ops.kernels.sparse_update import fused_update_v3, group_pack
 
 LR = 0.05
 
-# (n_rows, d, K, pool_n) — pool sizes mimic pop^alpha distinct-row counts
-# (same conventions as proto_v3_kernel.py)
+# (n_rows, d, K, pool_n) — pool sizes mimic pop^alpha distinct-row counts;
+# d is the PRODUCTION tile-aligned table width (gru.pad_cols(h+1): Mosaic
+# requires 128-lane-aligned slices, so 480->512, 512->640)
 SHAPES = {
-    "yoochoose": (37_120, 481, 2144, 1700),
-    "rees46": (200_064, 513, 2528, 1500),
+    "yoochoose": (37_120, 512, 2144, 1700),
+    "rees46": (200_064, 640, 2528, 1500),
 }
 
 
