@@ -30,6 +30,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 
@@ -113,7 +114,15 @@ def table():
 
 
 def try_one(n_items, adapt, osd):
-    """Probe: init + one real chunk on the device. Exit 0 prints ok/oom."""
+    """Probe: init + one real chunk on the device. Exit 0 prints ok/oom.
+
+    The train state is allocated ON DEVICE with the exact production
+    shapes/dtypes (``jax.eval_shape`` of the real ``init_train_state``, then
+    device ``zeros`` per leaf) rather than materialized host-side: only the
+    FOOTPRINT decides the OOM boundary, and shipping 5-15 GB of
+    host-initialized weights through the tunnel made each probe
+    transfer-bound (the first 2.4M-item probe blew a 1200 s timeout on
+    what is a sub-minute device question)."""
     from gru4rec_tpu.utils.cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
@@ -141,9 +150,25 @@ def try_one(n_items, adapt, osd):
             np.ones((CHUNK, BATCH), bool),
             rng.rand(CHUNK, BATCH) < 0.18,
         ))
-        state = init_train_state(cfg, n_items, jax.random.PRNGKey(0))
+        shapes = jax.eval_shape(
+            lambda k: init_train_state(cfg, n_items, k), jax.random.PRNGKey(0))
+
+        def alloc(s):
+            if jax.dtypes.issubdtype(s.dtype, jax.dtypes.prng_key):
+                return jax.random.PRNGKey(0)
+            return jnp.zeros(s.shape, s.dtype)
+
+        # ONE jitted program allocates the whole pytree: through the tunnel
+        # every call is an RPC that can stall for minutes (PERF_NOTES round-5
+        # cold-start), so per-leaf allocs multiply the worst case.
+        t0 = time.time()
+        state = jax.jit(lambda: jax.tree_util.tree_map(alloc, shapes))()
+        jax.block_until_ready(state)
+        print(f"# alloc {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+        t0 = time.time()
         fn = make_chunk_fn(cfg, n_items)
         state, ls, ec = fn(state, *args, samp1, logp0_j)
+        print(f"# chunk {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
         ok = bool(np.isfinite(float(ls)))
         print(json.dumps({"result": "ok" if ok else "nonfinite",
                           "n_items": n_items, "adapt": adapt,

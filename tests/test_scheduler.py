@@ -163,12 +163,14 @@ def test_session_order_time_sort():
 
 
 def test_stacked_chunk_upload_roundtrip():
-    """fit()'s stacked-schedule device path: _stack_chunks + _slice_chunk
-    must reproduce each per-chunk block bit-for-bit (incl. the zero-padded
-    ragged tail), so the single 4-transfer epoch upload is semantics-free."""
+    """fit()'s stacked-schedule device path: _stack_chunks + the packed wire
+    format (_upload_stacks/_get_chunk) must reproduce each per-chunk block
+    bit-for-bit (incl. the zero-padded ragged tail), so the single
+    4-transfer epoch upload is semantics-free — in BOTH wire formats
+    (uint16 ids + bit-packed lanes for catalogs <= 65535; int32 above)."""
     import numpy as np
 
-    from gru4rec_tpu.models.gru4rec import (_chunk_schedule, _slice_chunk,
+    from gru4rec_tpu.models.gru4rec import (_chunk_schedule, _get_chunk,
                                             _stack_chunks, _upload_stacks)
 
     rng = np.random.RandomState(3)
@@ -177,10 +179,14 @@ def test_stacked_chunk_upload_roundtrip():
     C = 16
     chunks = _chunk_schedule(sched, C)
     assert len(chunks) >= 2 and sched.n_steps % C != 0  # ragged tail covered
-    stacks, ends = _stack_chunks(chunks)
-    stacks = _upload_stacks(stacks, None)
+    base, ends = _stack_chunks(chunks)
     assert ends == [c[4] for c in chunks]
-    for ci, c in enumerate(chunks):
-        got = _slice_chunk(stacks, np.int32(ci))
-        for a, b in zip(got, c[:4]):
-            np.testing.assert_array_equal(np.asarray(a), b)
+    for n_items in (1000, 1 << 20):  # uint16 wire format / int32 fallback
+        stacks = _upload_stacks(base, None, n_items=n_items)
+        assert stacks[0] == "packed"
+        want_dt = np.uint16 if n_items <= np.iinfo(np.uint16).max else np.int32
+        assert np.asarray(stacks[1][0]).dtype == want_dt
+        for ci, c in enumerate(chunks):
+            got = _get_chunk(stacks, ci)
+            for a, b in zip(got, c[:4]):
+                np.testing.assert_array_equal(np.asarray(a), b)
