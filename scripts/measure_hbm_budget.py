@@ -135,12 +135,13 @@ def try_one(n_items, adapt, osd):
 
     cfg = make_cfg(n_items, adapt, osd)
     rng = np.random.RandomState(0)
-    ranks = np.arange(1, n_items + 1, dtype=np.float64)
-    p = 1.0 / ranks ** 0.8
-    pop = np.maximum((p / p.sum() * 5_000_000).astype(np.int64), 1)
+    # Uniform popularity: footprint-identical to pop^alpha (the alias table
+    # is (n, 2) int32 either way) but Vose's pairing loop degenerates to a
+    # no-op — at 2-4M items the real loop is minutes of host Python that
+    # tell us nothing about HBM.
+    pop = np.ones(n_items, np.int64)
     n_pad = gru.pad_items(n_items, cfg.item_pad_multiple)
     logp0 = np.zeros(n_pad, np.float32)
-    logp0[:n_items] = np.log(pop.astype(np.float64))
     try:
         samp1 = build_alias_table(pop, cfg.sample_alpha).packed
         logp0_j = jnp.asarray(logp0)
@@ -150,8 +151,27 @@ def try_one(n_items, adapt, osd):
             np.ones((CHUNK, BATCH), bool),
             rng.rand(CHUNK, BATCH) < 0.18,
         ))
-        shapes = jax.eval_shape(
-            lambda k: init_train_state(cfg, n_items, k), jax.random.PRNGKey(0))
+        # Shapes come from the REAL init at a tiny decoy catalog, then every
+        # item-dimensioned leading dim is rescaled to the probe's padded
+        # size. eval_shape cannot be used at the probe size itself: it
+        # executes init_train_state's host-side numpy init eagerly, and this
+        # host's memory is throttled to ~0.1 GiB/s (measured) — one
+        # 2.4M x 641 f64 Glorot draw costs minutes. The decoy (3307 ->
+        # pad 3328 rows) is a size no other leaf dimension can collide with.
+        decoy = 3307
+        decoy_pad = gru.pad_items(decoy, cfg.item_pad_multiple)
+        assert decoy_pad not in (
+            BATCH, CHUNK, HIDDEN, N_SAMPLE), "decoy collides with a real dim"
+        small = jax.eval_shape(
+            lambda k: init_train_state(make_cfg(decoy, adapt, osd), decoy, k),
+            jax.random.PRNGKey(0))
+
+        def rescale(s):
+            if s.shape and s.shape[0] == decoy_pad:
+                return jax.ShapeDtypeStruct((n_pad,) + s.shape[1:], s.dtype)
+            return s
+
+        shapes = jax.tree_util.tree_map(rescale, small)
 
         def alloc(s):
             if jax.dtypes.issubdtype(s.dtype, jax.dtypes.prng_key):
@@ -199,9 +219,11 @@ def boundary(adapts):
     until the probe OOMs; report the measured bracket per combo."""
     for adapt in adapts:
         for osd in ("bfloat16", "bfloat16_sr"):
-            pA, oA = state_bytes(128_000, adapt, osd)
-            pB, oB = state_bytes(256_000, adapt, osd)
-            per_item = (pB - pA + oB - oA) / 128_000 + 20.0
+            # small anchors: the layout is linear in n_items, and this
+            # host's throttled memory makes 100k+-item real inits minutes
+            pA, oA = state_bytes(16_000, adapt, osd)
+            pB, oB = state_bytes(48_000, adapt, osd)
+            per_item = (pB - pA + oB - oA) / 32_000 + 20.0
             n = int((14.5 * 2**30) / per_item * 0.8)
             n -= n % 128
             last_ok, first_bad = None, None
