@@ -203,15 +203,29 @@ def try_one(n_items, adapt, osd):
                           "detail": msg[:200]}), flush=True)
 
 
-def probe(n_items, adapt, osd):
+def probe(n_items, adapt, osd, attempts=3):
+    """Run one `try` subprocess; returns "ok" / "oom" / "indeterminate".
+
+    The tunneled backend exhibits sporadic multi-minute per-RPC stalls
+    (PERF_NOTES round-5 cold-start), so a timeout or crash is
+    INFRASTRUCTURE noise, not a memory verdict — retry, and never let it
+    masquerade as the OOM boundary."""
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    out = subprocess.run(
-        [sys.executable, __file__, "try", str(n_items), adapt, osd],
-        capture_output=True, text=True, timeout=1200, env=env,
-    ).stdout.strip().splitlines()
-    res = json.loads(out[-1]) if out else {"result": "crash"}
-    print(json.dumps(res), flush=True)
-    return res.get("result") == "ok"
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "try", str(n_items), adapt, osd],
+                capture_output=True, text=True, timeout=900, env=env,
+            ).stdout.strip().splitlines()
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"result": "timeout", "n_items": n_items,
+                              "attempt": attempt}), flush=True)
+            continue
+        res = json.loads(out[-1]) if out else {"result": "crash"}
+        print(json.dumps(res), flush=True)
+        if res.get("result") in ("ok", "oom"):
+            return res["result"]
+    return "indeterminate"
 
 
 def boundary(adapts):
@@ -226,19 +240,21 @@ def boundary(adapts):
             per_item = (pB - pA + oB - oA) / 32_000 + 20.0
             n = int((14.5 * 2**30) / per_item * 0.8)
             n -= n % 128
-            last_ok, first_bad = None, None
+            last_ok, first_bad, verdict = None, None, None
             while first_bad is None:
-                if probe(n, adapt, osd):
+                verdict = probe(n, adapt, osd)
+                if verdict == "ok":
                     last_ok = n
                     n = int(n * 1.25)
                     n -= n % 128
                 else:
-                    first_bad = n
+                    first_bad = n  # "oom" = boundary; "indeterminate" noted
             print(json.dumps({
                 "metric": "oom_boundary", "adapt": adapt,
                 "opt_state_dtype": osd, "hidden": HIDDEN, "batch": BATCH,
                 "largest_ok_n_items": last_ok,
                 "smallest_oom_n_items": first_bad,
+                "boundary_verdict": verdict,
             }), flush=True)
 
 

@@ -83,7 +83,9 @@ def main():
         for p in SPACE:
             f.write(json.dumps(p) + "\n")
 
-    cmd = [sys.executable, "-m", "gru4rec_tpu.cli.paropt", train_p, test_p,
+    # -u: unbuffered child stdout — piped prints otherwise arrive in block
+    # flushes and the per-trial wall timing would be bogus
+    cmd = [sys.executable, "-u", "-m", "gru4rec_tpu.cli.paropt", train_p, test_p,
            "-opf", space_p, "-fp", FIXED, "-nt", str(n_trials), "-m", "20",
            "-pm", "recall"]
     t0 = time.time()
