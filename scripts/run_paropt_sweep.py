@@ -120,13 +120,14 @@ def main():
         row.pop("t_start", None)
         print(json.dumps(row), flush=True)
     warm = [r["epoch1_s"] for r in trial_rows[1:] if "epoch1_s" in r]
+    t1e1 = trial_rows[0].get("epoch1_s") if trial_rows else None
     print(json.dumps({
         "metric": "paropt_sweep", "n_trials": len(trial_rows), "rc": rc,
         "total_wall_s": round(time.time() - t0, 1),
-        "trial1_epoch1_s": trial_rows[0].get("epoch1_s") if trial_rows else None,
+        "trial1_epoch1_s": t1e1,
         "warm_epoch1_s_median": round(float(np.median(warm)), 2) if warm else None,
-        "cache_shared": bool(warm) and trial_rows
-        and trial_rows[0].get("epoch1_s", 0) > 3 * np.median(warm),
+        "cache_shared": bool(warm and t1e1 is not None
+                             and t1e1 > 3 * float(np.median(warm))),
         "log": log_path,
     }), flush=True)
 
