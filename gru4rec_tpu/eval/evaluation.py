@@ -32,6 +32,7 @@ from gru4rec_tpu.config import GRU4RecConfig
 from gru4rec_tpu.data.scheduler import build_schedule
 from gru4rec_tpu.data.tools import compute_offset
 from gru4rec_tpu.models import gru
+from gru4rec_tpu.ops.activations import rank_invariant
 from gru4rec_tpu.ops.ranking import TIE_MODES, compute_ranks, ranks_from_counts
 
 
@@ -101,6 +102,22 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
         raise NotImplementedError(f"Unknown tie mode: {tie_mode!r}")
     mode = gru.input_mode(cfg)
     cutoffs = tuple(int(c) for c in cutoffs)
+    # Full-catalog ranking on PRE-activation logits when the final activation
+    # is strictly monotone (every published config: softmax, elu, tanh,
+    # linear): ranks and ties are provably unchanged, and the activation's
+    # normalize + mask passes over the (batch, n_items_pad) f32 matrix are
+    # the single largest eval cost at big catalogs — the round-5 rees46
+    # profile attributes 1.78 ms/step to them vs 1.47 ms for the scoring
+    # matmul fusion. The distributed evaluator already ranks on logits (see
+    # make_dist_eval_chunk_fn); this aligns the single-chip path with it.
+    # Non-monotone activations (relu and zero-parameter leaky/elu/selu) keep
+    # the activated path.
+    rank_on_logits = (not items_subset) and rank_invariant(cfg.final_act)
+    if rank_on_logits:
+        import copy
+
+        cfg_score = copy.copy(cfg)  # not dataclasses.replace: skips __post_init__
+        cfg_score.final_act = "linear"
 
     def chunk_fn(params, H, in_c, out_c, valid_c, reset_c, rec, mrr, n, key, step,
                  item_idx=None):
@@ -165,6 +182,33 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                     self_adj = jnp.where(
                         in_sub, 0.0, 1.0 if tie_mode == "conservative" else 0.5
                     )
+            elif rank_on_logits:
+                # Count-based ranks on raw logits, masks fused into the
+                # compare-reduces — no activation pass, no materialized
+                # where(item_valid, ., -inf) copy of the score matrix. The
+                # target score is gathered FROM the score matrix so the
+                # self-comparison is exact (same bf16 matmul value).
+                H_new, scores = gru.forward(
+                    params, srows, list(H), cfg_score, M=batch_size,
+                    training=False, full_catalog=True, item_valid=None,
+                )
+                b = scores.shape[0]
+                if tie_mode == "tiebreaking":
+                    # RELATIVE dither (same rationale as the dist path):
+                    # logits are O(1), where the activated path's absolute
+                    # 1e-10 would be below one f32 ULP and round away
+                    u = jax.random.uniform(
+                        jax.random.fold_in(key, step), scores.shape)
+                    scores = scores + u * (jnp.abs(scores) * 1e-6 + 1e-12)
+                target = scores[jnp.arange(b), jnp.where(valid, out_idx, 0)]
+                t = target[:, None]
+                gt = jnp.sum((scores > t) & item_valid, axis=1)
+                second = None
+                if tie_mode == "conservative":
+                    second = jnp.sum((scores >= t) & item_valid, axis=1)
+                elif tie_mode == "median":
+                    second = jnp.sum((scores == t) & item_valid, axis=1)
+                ranks = ranks_from_counts(gt, second, tie_mode)
             else:
                 self_adj = 0.0  # full catalog: self-comparison is in `others`
                 H_new, yhat = gru.forward(
@@ -180,7 +224,8 @@ def make_eval_chunk_fn(cfg: GRU4RecConfig, n_items: int, cutoffs: Sequence[int],
                 target = yhat[jnp.arange(b), jnp.where(valid, out_idx, 0)]
                 others = yhat
 
-            ranks = compute_ranks(others, target, tie_mode) + self_adj
+            if not rank_on_logits:
+                ranks = compute_ranks(others, target, tie_mode) + self_adj
 
             vf = valid.astype(jnp.float32)
             for k, c in enumerate(cutoffs):
@@ -677,15 +722,21 @@ def evaluate(gru_model, test_data, items=None, session_key="SessionId",
             H, rec, mrr, n, step = chunk_fn(
                 gru_model.params, H, *args, rec, mrr, n, key, step
             )
-    n = float(n)
+    # ONE device->host transfer for all 2*len(cutoffs)+1 scalars: separate
+    # float() pulls are separate RPCs, which on a tunneled backend cost a
+    # round trip each — at rees46 scale that was a measurable fraction of
+    # the whole evaluation (round-5 note).
+    combo = np.asarray(jnp.concatenate([rec, mrr, n[None]]))
+    k = len(cutoffs)
+    n = float(combo[2 * k])
     if n == 0:
         raise ValueError(
             "test set produced no evaluable events: every session has fewer "
             "than two events after inner-joining items to the training "
             "vocabulary"
         )
-    recall = [float(r) / n for r in rec]
-    mrr_out = [float(m) / n for m in mrr]
+    recall = [float(r) / n for r in combo[:k]]
+    mrr_out = [float(m) / n for m in combo[k:2 * k]]
     return recall, mrr_out
 
 

@@ -86,6 +86,36 @@ def _selu(lmbd, alpha, x, col_valid=None):
     return lmbd * jnp.where(x >= 0, x, alpha * (jnp.exp(jnp.minimum(x, 0.0)) - 1.0))
 
 
+def rank_invariant(name: str) -> bool:
+    """True when the activation is strictly increasing per element, i.e.
+    ranking on PRE-activation scores provably yields the same ranks (and the
+    same ties, for the conservative/median modes) as ranking on activated
+    scores. Softmax-family activations qualify row-wise: the shared
+    max-subtraction/normalization preserves within-row order, and eval swaps
+    ``softmax_logit`` for ``softmax`` anyway (models/gru.py predict path).
+
+    Used by the compiled evaluators to skip the activation over the
+    (batch, n_items) score matrix — at Rees46 scale the softmax normalize +
+    mask passes cost more device time than the scoring matmul itself
+    (PERF_NOTES round-5 eval profile). Activations that CREATE ties (relu;
+    leaky/elu/selu with a zero parameter) return False and keep the
+    activated ranking path.
+    """
+    if name in ("linear", "tanh", "sigmoid", "softmax", "softmax_logit"):
+        return True
+    try:
+        if name.startswith("leaky-"):
+            return float(name.split("-")[1]) > 0
+        if name.startswith("elu-"):
+            return float(name.split("-")[1]) > 0
+        if name.startswith("selu-"):
+            parts = [float(x) for x in name.split("-")[1:]]
+            return len(parts) == 2 and parts[0] > 0 and parts[1] > 0
+    except ValueError:
+        return False
+    return False
+
+
 def get_activation(name: str):
     """Resolve an activation by its (possibly parameterized) string name."""
     if name == "linear":

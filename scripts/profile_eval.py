@@ -83,8 +83,12 @@ def main(shape="rees46", batch=512, trace_dir="/tmp/g4r_eval_trace"):
 
     def fresh():
         H = tuple(jnp.zeros((batch, w), jnp.float32) for w in cfg.layers)
-        z = jnp.zeros((len(CUTOFFS),), jnp.float32)
-        return H, z, z, jnp.zeros((), jnp.float32)
+        # rec and mrr must be DISTINCT buffers: both are donated
+        # (donate_argnums 6 and 7), and donating one buffer twice is an
+        # InvalidArgument on the TPU backend (measured, this round).
+        rec = jnp.zeros((len(CUTOFFS),), jnp.float32)
+        mrr = jnp.zeros((len(CUTOFFS),), jnp.float32)
+        return H, rec, mrr, jnp.zeros((), jnp.float32)
 
     H, rec, mrr, n = fresh()
     H, rec, mrr, n, step = fn(params, H, in_c, out_c, valid, reset, rec, mrr,

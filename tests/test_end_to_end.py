@@ -63,6 +63,27 @@ def test_eval_tie_modes_close(trained):
     assert abs(res["standard"] - res["tiebreaking"]) < 0.05
 
 
+def test_rank_on_logits_matches_activated_path(trained, monkeypatch):
+    """The compiled evaluator ranks on pre-activation logits whenever the
+    final activation is strictly monotone (round-5 eval optimization: the
+    softmax normalize/mask passes dominate big-catalog eval). Forcing the
+    activated fallback must give the same metrics in every deterministic tie
+    mode — ranks are provably invariant under strictly monotone maps."""
+    m, _ = trained
+    test = markov_data(n_sessions=40, seed=77)
+    from gru4rec_tpu.eval import evaluation
+
+    kw = dict(cut_off=[1, 4, 9], batch_size=12)  # miss the chunk-fn cache
+    fast = {mode: evaluate(m, test, mode=mode, **kw)
+            for mode in ("standard", "conservative", "median")}
+    monkeypatch.setattr(evaluation, "rank_invariant", lambda name: False)
+    evaluation._CHUNK_FN_CACHE.clear()  # force rebuild under the patch
+    for mode, (rec_f, mrr_f) in fast.items():
+        rec_a, mrr_a = evaluate(m, test, mode=mode, **kw)
+        np.testing.assert_allclose(rec_f, rec_a, atol=1e-6, err_msg=mode)
+        np.testing.assert_allclose(mrr_f, mrr_a, atol=1e-6, err_msg=mode)
+
+
 def test_save_load_roundtrip(tmp_path, trained):
     m, data = trained
     fname = str(tmp_path / "model.npz")

@@ -31,6 +31,19 @@ def test_rank_modes_on_engineered_ties():
         np.asarray(compute_ranks(others, target, "tiebreaking")), [3.0, 1.0])
 
 
+def test_rank_invariant_classification():
+    """Strictly increasing activations admit pre-activation ranking; tie
+    creators (relu and zero-parameter leaky/elu/selu) do not."""
+    from gru4rec_tpu.ops.activations import rank_invariant
+
+    for name in ("linear", "tanh", "sigmoid", "softmax", "softmax_logit",
+                 "leaky-0.01", "elu-0.5", "elu-1.0", "selu-1.05-1.67"):
+        assert rank_invariant(name), name
+    for name in ("relu", "leaky-0", "elu-0", "selu-0-1", "selu-1.0-0",
+                 "selu-1.0", "leaky--0.1", "not-a-real-act"):
+        assert not rank_invariant(name), name
+
+
 def test_rank_modes_agree_without_ties():
     # as in the real evaluator, `others` includes the target's own score;
     # with all scores distinct every mode must agree
